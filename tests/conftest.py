@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh so all sharding
+logic (data/model parallel over jax.sharding.Mesh) is exercised without TPU
+hardware.  This is the standard JAX pattern for testing multi-chip code.
+"""
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

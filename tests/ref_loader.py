@@ -1,0 +1,55 @@
+"""Load modules from the read-only reference repo for golden-value tests.
+
+The reference's ``token_sequencer`` module defines a ``flax.struct.dataclass``
+with mutable jnp-array defaults, which is a hard error on Python 3.12.  We
+import it with ``flax.struct.dataclass`` temporarily stubbed out so the parts
+under test (TokenSequence / mask rules / ToMe math) load unchanged.
+"""
+
+import importlib.util
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _ensure_ref_path():
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+
+
+def load_ref_token_sequencer():
+    _ensure_ref_path()
+    name = "_ref_token_sequencer"
+    if name in sys.modules:
+        return sys.modules[name]
+    import flax.struct as fs
+
+    orig = fs.dataclass
+    fs.dataclass = lambda cls=None, **kw: (cls if cls is not None else (lambda c: c))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            name,
+            f"{REF_ROOT}/multi_modal_transformers/tokenizers/token_sequencer.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        fs.dataclass = orig
+    return mod
+
+
+def load_ref_token_compression():
+    _ensure_ref_path()
+    name = "_ref_token_compression"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name,
+        f"{REF_ROOT}/multi_modal_transformers/tokenizers/token_compression.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
