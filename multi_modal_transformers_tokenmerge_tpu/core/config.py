@@ -1,0 +1,211 @@
+"""Typed, frozen model configuration.
+
+The reference drives every module through Hydra ``DictConfig`` +
+``instantiate`` at trace time (reference: models/octo/octo.py:75-87,
+attention_blocks/attention.py:32-37), which re-instantiates modules per call
+and makes configs unhashable (breaking jit static args).  Here configs are
+frozen dataclasses: hashable, comparable, constructed once, and loadable from
+the same YAML group shape (see core/yaml_loader.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "ResNetEmbedderConfig",
+    "ImageTokenizerConfig",
+    "TextEncoderConfig",
+    "AttentionConfig",
+    "TransformerConfig",
+    "ContinuousHeadConfig",
+    "CategoricalHeadConfig",
+    "DiffusionHeadConfig",
+    "HeadsConfig",
+    "OctoConfig",
+]
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def resolve_dtype(name):
+    if not isinstance(name, str):
+        return name
+    return _DTYPES[name]
+
+
+class _Replaceable:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class ResNetEmbedderConfig(_Replaceable):
+    """Gato-style per-patch ResNetV2 conv embedder
+    (reference: tokenizers/images/image_tokenizer.py:140-178,
+    model_configs/tokenizers/images/gato_resnet.yaml:41-104)."""
+
+    num_blocks: int = 2
+    features: int = 64
+    input_kernel: Tuple[int, int] = (12, 12)
+    input_stride: Tuple[int, int] = (2, 2)
+    pool_window: Tuple[int, int] = (3, 3)
+    pool_stride: Tuple[int, int] = (1, 1)
+    block_kernel: Tuple[int, int] = (3, 3)
+    group_norm_groups: int = 32
+    group_norm_epsilon: float = 1e-6
+    output_features: int = 768
+
+
+@dataclass(frozen=True)
+class ImageTokenizerConfig(_Replaceable):
+    """Patchify + stochastic patch-position encoding + conv embed
+    (reference: tokenizers/images/image_tokenizer.py:216-397)."""
+
+    image_size: Tuple[int, int, int] = (280, 280, 3)
+    patch_size: int = 56
+    normalize: bool = True
+    position_interval: int = 128
+    rng_collection: str = "patch_encoding"
+    embedding_dim: int = 768
+    resnet: ResNetEmbedderConfig = field(default_factory=ResNetEmbedderConfig)
+
+    @property
+    def patches_per_dim(self) -> int:
+        return self.image_size[0] // self.patch_size
+
+    @property
+    def tokens_per_image(self) -> int:
+        return self.patches_per_dim ** 2
+
+
+@dataclass(frozen=True)
+class TextEncoderConfig(_Replaceable):
+    """Text encoder selection.
+
+    ``kind='embed'`` is a learned embedding + learned positions
+    (reference: tokenizers/text/text_tokenizer.py:49-69);
+    ``kind='t5'`` is a frozen T5-style encoder implemented natively
+    (reference wraps HF FlaxT5EncoderModel: tokenizers/text/t5_base.py:8-15).
+    """
+
+    kind: str = "embed"  # 'embed' | 't5'
+    vocab_size: int = 32128
+    max_length: int = 16
+    embedding_dim: int = 768
+    # t5-base architecture knobs (only used when kind == 't5')
+    t5_num_layers: int = 12
+    t5_num_heads: int = 12
+    t5_d_ff: int = 3072
+    t5_d_kv: int = 64
+    t5_rel_pos_buckets: int = 32
+    t5_rel_pos_max_distance: int = 128
+    frozen: bool = True
+
+
+@dataclass(frozen=True)
+class AttentionConfig(_Replaceable):
+    """Multi-head self-attention inside an encoder block
+    (reference: model_configs/attention_blocks/vanilla_decoder.yaml:19-31)."""
+
+    num_heads: int = 3
+    qkv_features: int = 768
+    dropout_rate: float = 0.1
+    use_bias: bool = True
+
+
+@dataclass(frozen=True)
+class TransformerConfig(_Replaceable):
+    """Stacked pre-LN encoder blocks
+    (reference: attention_blocks/attention.py:41-119)."""
+
+    num_blocks: int = 1
+    attention: AttentionConfig = field(default_factory=AttentionConfig)
+    mlp_dim: int = 768
+    mlp_activation: str = "relu"
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    # ToMe token merging: tokens merged per compressible set per layer come
+    # from the sequence compression string; this picks merge vs prune.
+    compression_mode: str = "none"  # 'none' | 'merge' | 'prune'
+    # use size-weighted (proportional) attention for merged tokens
+    proportional_attention: bool = False
+    remat: bool = False
+
+
+@dataclass(frozen=True)
+class ContinuousHeadConfig(_Replaceable):
+    """Tanh-squashed MSE head (reference: action_heads/continuous.py:12-26)."""
+
+    max_action: float = 1.0
+    action_space_dim: int = 8
+
+
+@dataclass(frozen=True)
+class CategoricalHeadConfig(_Replaceable):
+    """Binned categorical head (reference: action_heads/categorical.py:24-40)."""
+
+    num_bins: int = 256
+    max_action: float = 1.0
+    action_space_dim: int = 8
+
+
+@dataclass(frozen=True)
+class DiffusionHeadConfig(_Replaceable):
+    """DDPM action head (reference: action_heads/diffusion.py:67-209)."""
+
+    diffusion_steps: int = 32
+    action_space_dim: int = 8
+    time_dim: int = 768
+    mlp_dim: int = 768
+    num_blocks: int = 1
+    clip_value: float = 5.0
+    rng_collection: str = "diffusion"
+    # 'folded' uses a fresh fold_in key per sampling step (correct);
+    # 'reference' reuses the same keys every step, replicating the
+    # reference's sampler for fidelity tests (diffusion.py:178 key reuse).
+    sampler_rng_mode: str = "folded"
+
+
+@dataclass(frozen=True)
+class HeadsConfig(_Replaceable):
+    continuous: Optional[ContinuousHeadConfig] = None
+    categorical: Optional[CategoricalHeadConfig] = None
+    diffusion: Optional[DiffusionHeadConfig] = None
+
+
+@dataclass(frozen=True)
+class OctoConfig(_Replaceable):
+    """Top-level model config (reference: model_configs/octo_base.yaml)."""
+
+    input_sequence: str = "[TaskDescriptionPrefix{16}] [Image{25};Readout{4}]*2"
+    compression_sequence: Optional[str] = None
+    token_embedding_dim: int = 768
+    num_observation_blocks: int = 2
+    tokens_per_readout: int = 4
+
+    text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
+    images: ImageTokenizerConfig = field(default_factory=ImageTokenizerConfig)
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    heads: HeadsConfig = field(
+        default_factory=lambda: HeadsConfig(continuous=ContinuousHeadConfig())
+    )
+
+    dtype: str = "float32"
+    param_dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return resolve_dtype(self.dtype)
+
+    @property
+    def params_dtype(self):
+        return resolve_dtype(self.param_dtype)

@@ -1,0 +1,28 @@
+"""Continuous (tanh-squashed) action head
+(reference: action_heads/continuous.py:12-26)."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.config import ContinuousHeadConfig
+
+__all__ = ["ContinuousActionHead"]
+
+
+class ContinuousActionHead(nn.Module):
+    cfg: ContinuousHeadConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, readouts):  # (B, R, E)
+        emb = jnp.mean(readouts, axis=-2)
+        mean = nn.Dense(self.cfg.action_space_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        kernel_init=nn.initializers.he_normal(),
+                        bias_init=nn.initializers.normal(),
+                        name="mean")(emb)
+        mean = mean[:, None, :]  # (B, 1, A) to match reference output shape
+        return jnp.tanh(mean / self.cfg.max_action) * self.cfg.max_action

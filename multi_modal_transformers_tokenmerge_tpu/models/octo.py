@@ -1,0 +1,211 @@
+"""Octo: OCTO-style vision-language-action transformer policy.
+
+Method-based API mirroring the reference for drop-in parity
+(reference: models/octo/octo.py:55-198):
+
+* ``generate_readouts(text_tokens, images, train)`` — the backbone;
+* ``predict_continuous_action`` / ``compute_l2_loss``;
+* ``predict_action_logits`` / ``compute_ce_loss``;
+* ``predict_diffusion_denoise_term`` / ``compute_diffusion_denoise_loss`` /
+  ``predict_diffusion_action``.
+
+TPU-first: the sequence layout, attention mask, and assembly permutation are
+static numpy constants; assembly is one concat + one gather; readout
+extraction is a static gather; every predict/loss method is designed to be
+wrapped in a single jit (see train/steps.py and serve/policy.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..core.config import OctoConfig
+from ..heads.categorical import CategoricalActionHead, assign_bins
+from ..heads.continuous import ContinuousActionHead
+from ..heads.diffusion import DiffusionActionHead
+from ..modules.attention import TransformerStack
+from ..modules.image_tokenizer import ImageTokenizer
+from ..modules.readout import ReadoutTokens
+from ..modules.text import build_text_encoder
+from ..modules.tome_stack import CompressedTransformerStack
+from ..sequence.layout import SequenceLayout
+
+__all__ = ["Octo", "TokenEmbeddings"]
+
+
+@flax.struct.dataclass
+class TokenEmbeddings:
+    """Per-modality embedding streams
+    (reference: tokenizers/token_sequencer.py:342-346)."""
+
+    text: jax.Array
+    images: jax.Array
+    readouts: jax.Array
+
+
+class Octo(nn.Module):
+    config: OctoConfig
+
+    def setup(self):
+        cfg = self.config
+        self.layout = SequenceLayout.from_strings(
+            cfg.input_sequence, cfg.compression_sequence)
+        dtype = cfg.compute_dtype
+        param_dtype = cfg.params_dtype
+
+        self.text_encoder = build_text_encoder(
+            cfg.text, dtype, param_dtype, name="text_encoder")
+        self.image_encoder = ImageTokenizer(
+            cfg.images, dtype=dtype, param_dtype=param_dtype,
+            name="image_encoder")
+        self.readout_tokens = ReadoutTokens(
+            num_tokens=self.layout.modality_tokens("readouts"),
+            embedding_dim=cfg.token_embedding_dim,
+            dtype=dtype, param_dtype=param_dtype, name="readout_encoder")
+
+        use_compression = (self.layout.compressible
+                           and cfg.transformer.compression_mode != "none")
+        if use_compression:
+            self.transformer = CompressedTransformerStack(
+                cfg.transformer, layout=self.layout, dtype=dtype,
+                param_dtype=param_dtype, name="transformer")
+        else:
+            self.transformer = TransformerStack(
+                cfg.transformer, dtype=dtype, param_dtype=param_dtype,
+                name="transformer")
+        self._use_compression = use_compression
+
+        heads = cfg.heads
+        if heads.continuous is not None:
+            self.continuous_action_head = ContinuousActionHead(
+                heads.continuous, dtype=dtype, param_dtype=param_dtype)
+        if heads.categorical is not None:
+            self.categorical_action_head = CategoricalActionHead(
+                heads.categorical, dtype=dtype, param_dtype=param_dtype)
+        if heads.diffusion is not None:
+            self.diffusion_action_head = DiffusionActionHead(
+                heads.diffusion, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, text_tokens, images, time=None, noisy_actions=None,
+                 train: bool = False):
+        """Initialization entry point: runs the backbone plus every
+        configured head so a single ``model.init`` creates all parameters
+        (the reference requires separate per-method inits,
+        octo.py:346-368)."""
+        readouts = self.generate_readouts(text_tokens, images, train)
+        heads = self.config.heads
+        out = {"readouts": readouts}
+        if heads.continuous is not None:
+            out["continuous"] = self.continuous_action_head(readouts)
+        if heads.categorical is not None:
+            out["categorical"] = self.categorical_action_head(readouts)
+        if heads.diffusion is not None:
+            if time is None:
+                time = jnp.zeros((readouts.shape[0], 1))
+            if noisy_actions is None:
+                noisy_actions = jnp.zeros(
+                    (readouts.shape[0], heads.diffusion.action_space_dim))
+            out["diffusion"] = self.diffusion_action_head.predict_denoise_term(
+                readouts, time, noisy_actions, train)
+        return out
+
+    # ------------------------------------------------------------------
+    # backbone
+    # ------------------------------------------------------------------
+
+    def generate_readouts(self, text_tokens, images, train: bool = False):
+        """Encode modalities, assemble the interleaved sequence, run the
+        transformer, return readout-token embeddings
+        (reference: octo.py:91-126)."""
+        cfg = self.config
+        batch_size = images.shape[0]
+
+        text_embeddings = self.text_encoder(text_tokens)
+        image_embeddings = self.image_encoder(images, train=train)
+        readout_embeddings = self.readout_tokens(batch_size)
+
+        embeddings = self.assemble_embeddings(TokenEmbeddings(
+            text=text_embeddings,
+            images=image_embeddings,
+            readouts=readout_embeddings,
+        ))
+
+        if self._use_compression:
+            embeddings = self.transformer(embeddings, deterministic=not train)
+            readout_idx = self.layout.modality_index(
+                "readouts", layer=cfg.transformer.num_blocks)
+        else:
+            mask = jnp.asarray(self.layout.attention_mask())
+            embeddings = self.transformer(embeddings, mask=mask,
+                                          deterministic=not train)
+            readout_idx = self.layout.modality_index("readouts")
+
+        return jnp.take(embeddings, jnp.asarray(readout_idx), axis=1)
+
+    def assemble_embeddings(self, embeddings: TokenEmbeddings):
+        """Interleave modality streams into the token sequence: one concat +
+        one static gather (reference uses per-set dynamic slices,
+        token_sequencer.py:255-269)."""
+        combined = jnp.concatenate(
+            [embeddings.text, embeddings.images, embeddings.readouts], axis=1)
+        perm = jnp.asarray(self.layout.assembly_permutation)
+        return jnp.take(combined, perm, axis=1)
+
+    # ------------------------------------------------------------------
+    # continuous action head (reference: octo.py:158-174)
+    # ------------------------------------------------------------------
+
+    def predict_continuous_action(self, text_tokens, images,
+                                  train: bool = False):
+        readouts = self.generate_readouts(text_tokens, images, train)
+        return self.continuous_action_head(readouts)
+
+    def compute_l2_loss(self, text_tokens, images, actions,
+                        train: bool = True):
+        pred = jnp.squeeze(
+            self.predict_continuous_action(text_tokens, images, train))
+        return jnp.sum(jnp.square(pred - actions), axis=-1)
+
+    # ------------------------------------------------------------------
+    # categorical action head (reference: octo.py:178-198)
+    # ------------------------------------------------------------------
+
+    def predict_action_logits(self, text_tokens, images, train: bool = False):
+        readouts = self.generate_readouts(text_tokens, images, train)
+        return self.categorical_action_head(readouts)
+
+    def compute_ce_loss(self, text_tokens, images, actions,
+                        train: bool = True):
+        cfg = self.config.heads.categorical
+        target_bin = assign_bins(actions, (-cfg.max_action, cfg.max_action),
+                                 cfg.num_bins)
+        targets = jax.nn.one_hot(target_bin, num_classes=cfg.num_bins)
+        logits = self.predict_action_logits(text_tokens, images, train)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.sum(targets * logprobs, axis=-1)
+
+    # ------------------------------------------------------------------
+    # diffusion action head (reference: octo.py:130-154)
+    # ------------------------------------------------------------------
+
+    def predict_diffusion_denoise_term(self, text_tokens, images, time,
+                                       noisy_actions, train: bool = False):
+        readouts = self.generate_readouts(text_tokens, images, train)
+        return self.diffusion_action_head.predict_denoise_term(
+            readouts, time, noisy_actions, train)
+
+    def compute_diffusion_denoise_loss(self, text_tokens, images, actions,
+                                       train: bool = True):
+        readouts = self.generate_readouts(text_tokens, images, train)
+        return self.diffusion_action_head.denoise_loss(readouts, actions,
+                                                       train)
+
+    def predict_diffusion_action(self, text_tokens, images,
+                                 train: bool = False):
+        readouts = self.generate_readouts(text_tokens, images, train)
+        return self.diffusion_action_head.predict_action(readouts, train)

@@ -1,0 +1,121 @@
+"""Model presets matching the BASELINE benchmark configs.
+
+``octo_base`` mirrors the reference's committed configuration exactly
+(reference: model_configs/octo_base.yaml + vanilla_decoder.yaml +
+gato_resnet.yaml + diffusion.yaml): 280x280 2-frame images, 56px patches,
+16 T5 text tokens, 2x(25 image + 4 readout) tokens = 74-token sequence,
+768-dim, 3-head single-block transformer, 32-step DDPM diffusion head.
+"""
+
+from __future__ import annotations
+
+from ..core.config import (
+    AttentionConfig,
+    CategoricalHeadConfig,
+    ContinuousHeadConfig,
+    DiffusionHeadConfig,
+    HeadsConfig,
+    ImageTokenizerConfig,
+    OctoConfig,
+    ResNetEmbedderConfig,
+    TextEncoderConfig,
+    TransformerConfig,
+)
+
+__all__ = ["octo_tiny", "octo_small", "octo_base", "get_preset", "PRESETS"]
+
+
+def octo_tiny(**overrides) -> OctoConfig:
+    """BASELINE config 1: single-frame 256x256 RGB + text, MSE head."""
+    cfg = OctoConfig(
+        input_sequence="[TaskDescriptionPrefix{16}] [Image{16};Readout{4}]",
+        token_embedding_dim=256,
+        num_observation_blocks=1,
+        tokens_per_readout=4,
+        text=TextEncoderConfig(kind="embed", vocab_size=1024, max_length=16,
+                               embedding_dim=256),
+        images=ImageTokenizerConfig(
+            image_size=(256, 256, 3), patch_size=64, position_interval=128,
+            embedding_dim=256,
+            resnet=ResNetEmbedderConfig(num_blocks=2, features=32,
+                                        output_features=256)),
+        transformer=TransformerConfig(
+            num_blocks=2,
+            attention=AttentionConfig(num_heads=4, qkv_features=256),
+            mlp_dim=512),
+        heads=HeadsConfig(continuous=ContinuousHeadConfig(
+            max_action=1.0, action_space_dim=8)),
+    )
+    return cfg.replace(**overrides)
+
+
+def octo_small(**overrides) -> OctoConfig:
+    """BASELINE config 2: OCTO-Small with ToMe token merging."""
+    cfg = OctoConfig(
+        input_sequence="[TaskDescriptionPrefix{16}] [Image{25};Readout{4}]*2",
+        compression_sequence=(
+            "[TaskDescriptionPrefix{0}] [Image{2};Readout{0}]*2"),
+        token_embedding_dim=384,
+        num_observation_blocks=2,
+        tokens_per_readout=4,
+        text=TextEncoderConfig(kind="embed", vocab_size=2048, max_length=16,
+                               embedding_dim=384),
+        images=ImageTokenizerConfig(
+            image_size=(280, 280, 3), patch_size=56, position_interval=128,
+            embedding_dim=384,
+            resnet=ResNetEmbedderConfig(num_blocks=2, features=64,
+                                        output_features=384)),
+        transformer=TransformerConfig(
+            num_blocks=6,
+            attention=AttentionConfig(num_heads=6, qkv_features=384),
+            mlp_dim=1536,
+            compression_mode="merge"),
+        heads=HeadsConfig(continuous=ContinuousHeadConfig(
+            max_action=1.0, action_space_dim=8)),
+    )
+    return cfg.replace(**overrides)
+
+
+def octo_base(**overrides) -> OctoConfig:
+    """BASELINE config 3: the reference's committed octo_base — T5 text
+    tower + diffusion action head (model_configs/octo_base.yaml)."""
+    cfg = OctoConfig(
+        input_sequence="[TaskDescriptionPrefix{16}] [Image{25};Readout{4}]*2",
+        token_embedding_dim=768,
+        num_observation_blocks=2,
+        tokens_per_readout=4,
+        text=TextEncoderConfig(kind="t5", vocab_size=32128, max_length=16,
+                               embedding_dim=768),
+        images=ImageTokenizerConfig(
+            image_size=(280, 280, 3), patch_size=56, position_interval=128,
+            embedding_dim=768,
+            resnet=ResNetEmbedderConfig(num_blocks=2, features=64,
+                                        output_features=768)),
+        transformer=TransformerConfig(
+            num_blocks=1,
+            attention=AttentionConfig(num_heads=3, qkv_features=768),
+            mlp_dim=768),
+        heads=HeadsConfig(
+            continuous=ContinuousHeadConfig(max_action=1.0,
+                                            action_space_dim=8),
+            categorical=CategoricalHeadConfig(num_bins=256, max_action=1.0,
+                                              action_space_dim=8),
+            diffusion=DiffusionHeadConfig(diffusion_steps=32,
+                                          action_space_dim=8)),
+    )
+    return cfg.replace(**overrides)
+
+
+PRESETS = {
+    "octo_tiny": octo_tiny,
+    "octo_small": octo_small,
+    "octo_base": octo_base,
+}
+
+
+def get_preset(name: str, **overrides) -> OctoConfig:
+    try:
+        return PRESETS[name](**overrides)
+    except KeyError:
+        raise ValueError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}")

@@ -1,0 +1,163 @@
+"""Compressed transformer stack: ToMe merging or attention-score pruning
+between layers, with statically shrinking per-layer sequence layouts.
+
+This is the working realization of the reference's unfinished token
+compression subsystem (reference: attention_blocks/tome_attention.py:249-256
+— merge intent using key means; attention_blocks/compressed_attention.py:302-308
+— pruning by mean attention weight; tokenizers/token_sequencer.py:222-238 —
+per-layer layouts from the compression DSL).
+
+Design (TPU-first, all shapes static):
+
+* Layer ``l`` consumes ``S_l`` tokens and produces ``S_{l+1}`` tokens; the
+  per-layer token counts come from the compression DSL, so every layer
+  compiles with fixed shapes.
+* Compression happens between attention and MLP (ToMe paper placement): the
+  residual stream is merged/pruned, so the MLP also runs on the shrunk
+  sequence.
+* Merging is **per token set** — only sets with a nonzero compression rate
+  (e.g. ``Image{2}``) are touched, so text/readout tokens are protected.
+  Within-set reordering is safe because masks are set-granular.
+* Merge metric is the attention-key mean over heads (reference intent,
+  tome_attention.py:253); importance for pruning is the mean attention
+  weight over heads and queries (compressed_attention.py:302-305).
+* ``merge_wavg`` size tracking (token_compression.py:114-129) carries
+  through the whole stack; optional proportional attention adds
+  ``log(size)`` to the logits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TransformerConfig
+from ..ops.pruning import prune_gather, topk_tokens_per_set
+from ..ops.tome import bipartite_soft_matching, merge_wavg
+from ..sequence.layout import SequenceLayout
+from .attention import MLPBlock, AddPositionEmbedding, _bias_init, _kernel_init
+
+__all__ = ["CompressedEncoderBlock", "CompressedTransformerStack"]
+
+
+def _merge_sets(x, size, metric, layout: SequenceLayout, layer: int):
+    """Per-set ToMe merge of the residual stream.
+
+    x: (B, S_l, E); size: (B, S_l, 1); metric: (B, S_l, D).
+    Returns (B, S_{l+1}, E), (B, S_{l+1}, 1).
+    """
+    slices = layout.set_slices(layer)
+    next_counts = layout.set_counts_at_layer(layer + 1)
+    xs, sizes = [], []
+    for (start, n), n_next in zip(slices, next_counts):
+        x_i = x[:, start:start + n]
+        s_i = size[:, start:start + n]
+        r = n - n_next
+        if r > 0:
+            plan = bipartite_soft_matching(metric[:, start:start + n], r)
+            x_i, s_i = merge_wavg(plan, x_i, s_i)
+        xs.append(x_i)
+        sizes.append(s_i)
+    return jnp.concatenate(xs, axis=1), jnp.concatenate(sizes, axis=1)
+
+
+def _prune_sets(x, size, importance, layout: SequenceLayout, layer: int):
+    """Per-set top-k pruning of the residual stream."""
+    keep_idx = topk_tokens_per_set(
+        importance, layout.set_slices(layer),
+        layout.set_counts_at_layer(layer + 1))
+    return prune_gather(x, keep_idx), prune_gather(size, keep_idx)
+
+
+class CompressedEncoderBlock(nn.Module):
+    """Pre-LN encoder block that shrinks the sequence between attention and
+    MLP.  Explicit attention weights (needed for the pruning importance
+    signal and proportional attention)."""
+
+    cfg: TransformerConfig
+    layout: SequenceLayout
+    layer: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size, deterministic: bool = True):
+        c = self.cfg
+        a = c.attention
+        head_dim = a.qkv_features // a.num_heads
+        mask = jnp.asarray(self.layout.attention_mask(self.layer))
+
+        ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_epsilon,
+                                       dtype=self.dtype,
+                                       param_dtype=self.param_dtype,
+                                       name=name)
+        proj = lambda name: nn.DenseGeneral(
+            features=(a.num_heads, head_dim), axis=-1, use_bias=a.use_bias,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=_kernel_init, bias_init=_bias_init, name=name)
+
+        y = ln("ln_attention")(x)
+        q, k, v = proj("query")(y), proj("key")(y), proj("value")(y)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(head_dim)
+        if c.proportional_attention:
+            logits = logits + jnp.log(size)[:, None, :, 0][:, :, None, :]
+        logits = jnp.where(mask[None, None], logits,
+                           jnp.finfo(jnp.float32).min)
+        weights = jax.nn.softmax(logits, axis=-1)
+        if a.dropout_rate > 0.0 and not deterministic:
+            weights = nn.Dropout(a.dropout_rate)(
+                weights, deterministic=deterministic)
+        attn_out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(self.dtype), v)
+
+        y = nn.DenseGeneral(features=x.shape[-1], axis=(-2, -1),
+                            use_bias=a.use_bias, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            kernel_init=_kernel_init, bias_init=_bias_init,
+                            name="out")(attn_out)
+        y = nn.Dropout(c.dropout_rate)(y, deterministic=deterministic)
+        x = x + y
+
+        # ---- compression between attention and MLP ----
+        if c.compression_mode == "merge":
+            metric = jnp.mean(k, axis=-2)  # key mean over heads (B, S, D)
+            x, size = _merge_sets(x, size, metric, self.layout, self.layer)
+        elif c.compression_mode == "prune":
+            importance = jnp.mean(weights, axis=(1, 2))  # (B, K)
+            x, size = _prune_sets(x, size, importance, self.layout, self.layer)
+        else:
+            raise ValueError(
+                f"unknown compression mode {c.compression_mode!r}")
+
+        y = ln("ln_mlp")(x)
+        y = MLPBlock(mlp_dim=c.mlp_dim, out_dim=x.shape[-1],
+                     dropout_rate=c.dropout_rate, activation=c.mlp_activation,
+                     dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="mlp")(y, deterministic=deterministic)
+        return x + y, size
+
+
+class CompressedTransformerStack(nn.Module):
+    """Python-unrolled stack (per-layer shapes differ, so no scan)."""
+
+    cfg: TransformerConfig
+    layout: SequenceLayout
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = AddPositionEmbedding(name="posembed_input")(x)
+        size = jnp.ones_like(x[..., :1])
+        for layer in range(self.cfg.num_blocks):
+            x, size = CompressedEncoderBlock(
+                self.cfg, self.layout, layer, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"block_{layer}")(
+                    x, size, deterministic)
+        return x

@@ -1,0 +1,75 @@
+"""Training state + metrics.
+
+Counterpart of the reference's ``OCTOTrainState`` / ``OCTOMetrics``
+(reference: models/octo/octo.py:322-386), redesigned as a plain flax
+``struct.PyTreeNode`` so the whole state (params, optimizer, rngs, metrics)
+is a donatable pytree that lives on device across jitted steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["Metrics", "OctoTrainState", "create_train_state"]
+
+
+@flax.struct.dataclass
+class Metrics:
+    """Running average of the training loss (jit-friendly, mergeable —
+    mirrors clu's Average collection used by the reference, octo.py:322-324).
+    """
+
+    loss_sum: jax.Array
+    count: jax.Array
+
+    @classmethod
+    def empty(cls) -> "Metrics":
+        return cls(loss_sum=jnp.zeros((), jnp.float32),
+                   count=jnp.zeros((), jnp.float32))
+
+    def update(self, loss) -> "Metrics":
+        return Metrics(loss_sum=self.loss_sum + loss, count=self.count + 1.0)
+
+    def compute(self) -> Dict[str, jax.Array]:
+        return {"loss": self.loss_sum / jnp.maximum(self.count, 1.0)}
+
+
+class OctoTrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: optax.OptState
+    rngs: Dict[str, jax.Array]
+    metrics: Metrics
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "OctoTrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+    def step_rngs(self) -> Dict[str, jax.Array]:
+        """Per-step derived rngs (reference folds per step, octo.py:210-213)."""
+        return {name: jax.random.fold_in(key, self.step)
+                for name, key in self.rngs.items()}
+
+
+def create_train_state(model, variables, optimizer,
+                       rngs: Dict[str, jax.Array]) -> OctoTrainState:
+    params = variables["params"]
+    return OctoTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        rngs=rngs,
+        metrics=Metrics.empty(),
+        apply_fn=model.apply,
+        tx=optimizer,
+    )

@@ -1,0 +1,56 @@
+"""Jitted, donated train steps for every action head.
+
+The reference's train steps are plain un-jitted Python (reference:
+models/octo/octo.py:204-320 — every step re-dispatches op-by-op).  Here each
+step is built once per (model, head), jitted with the state donated, and runs
+end-to-end on device: fold rngs -> value_and_grad -> optimizer update ->
+metrics update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .state import OctoTrainState
+
+__all__ = ["make_train_step", "LOSS_METHODS"]
+
+LOSS_METHODS = {
+    "continuous": "compute_l2_loss",
+    "categorical": "compute_ce_loss",
+    "diffusion": "compute_diffusion_denoise_loss",
+}
+
+
+def make_train_step(head: str, mesh=None, donate: bool = True,
+                    jit: bool = True) -> Callable:
+    """Build ``step(state, text_tokens, images, actions) -> (state, loss)``.
+
+    With a mesh, inputs are expected batch-sharded along the data axis;
+    gradients all-reduce automatically through jit's SPMD partitioner.
+    """
+    try:
+        method = LOSS_METHODS[head]
+    except KeyError:
+        raise ValueError(f"unknown head {head!r}; one of {sorted(LOSS_METHODS)}")
+
+    def step(state: OctoTrainState, text_tokens, images, actions):
+        rngs = state.step_rngs()
+
+        def loss_fn(params):
+            loss = state.apply_fn({"params": params}, text_tokens, images,
+                                  actions, rngs=rngs, method=method)
+            return jnp.mean(loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(metrics=state.metrics.update(loss))
+        return state, loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step

@@ -1,0 +1,81 @@
+"""Tests for patchify + patch-position encoding, mirroring the reference's
+only real unit suite (tokenizers/images/tests/test_image_tokenizer.py) and
+extending it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_transformers_tokenmerge_tpu.ops.image_ops import (
+    eval_position_tokens,
+    patchify,
+    position_interval_bounds,
+    sample_position_tokens,
+)
+
+
+def test_patchify_exact_recovery():
+    """Patches hold constant raster-order values -> exact recovery
+    (reference: test_image_tokenizer.py:22-36)."""
+    p, n = 4, 3  # 12x12 image, 4px patches, 9 patches
+    h = p * n
+    image = np.zeros((h, h, 1), dtype=np.float32)
+    for i in range(n):
+        for j in range(n):
+            image[i * p:(i + 1) * p, j * p:(j + 1) * p] = i * n + j
+    patches = patchify(jnp.asarray(image), p, normalize=False)
+    assert patches.shape == (n * n, p, p, 1)
+    for idx in range(n * n):
+        np.testing.assert_array_equal(np.asarray(patches[idx]), idx)
+
+
+def test_patchify_batch_dims_and_normalize():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(2, 3, 8, 8, 3)).astype(np.float32)
+    patches = patchify(jnp.asarray(imgs), 4, normalize=True)
+    assert patches.shape == (2, 3, 4, 4, 4, 3)
+    assert float(patches.max()) <= 1.0 and float(patches.min()) >= -1.0
+    # spot check: top-left patch of first frame
+    expected = 2 * (imgs[0, 0, :4, :4] / 255.0) - 1
+    np.testing.assert_allclose(np.asarray(patches[0, 0, 0]), expected,
+                               rtol=1e-6)
+
+
+def test_eval_position_tokens_match_reference_formula():
+    """Eval tokens are interval midpoints of quantized pixel bounds
+    (reference: image_tokenizer.py:89-112)."""
+    h, p, interval = 280, 56, 128
+    rows, cols = eval_position_tokens(h, p, interval)
+    n = h // p
+    assert rows.shape == (n * n,)
+
+    idx_vals = np.arange(0, h + p, p)
+    q = np.floor(idx_vals / h * (interval - 1)).astype(np.int32)
+    starts, stops = q[:-1], q[1:]
+    expected_rows = np.repeat((starts + stops) // 2, n)
+    expected_cols = np.tile((starts + stops) // 2, n)
+    np.testing.assert_array_equal(rows, expected_rows)
+    np.testing.assert_array_equal(cols, expected_cols)
+
+
+def test_sampled_position_tokens_within_interval():
+    """Train-mode tokens are uniform within each patch's quantized interval
+    (reference: image_tokenizer.py:103-108)."""
+    h, p, interval = 280, 56, 128
+    rs, rp, cs, cp = position_interval_bounds(h, p, interval)
+    rows, cols = sample_position_tokens(
+        jax.random.PRNGKey(0), (4, 2), h, p, interval)
+    assert rows.shape == (4, 2, 25)
+    rows, cols = np.asarray(rows), np.asarray(cols)
+    assert (rows >= rs).all() and (rows < rp).all()
+    assert (cols >= cs).all() and (cols < cp).all()
+    # stochastic: with 200 samples per patch interval of width ~25,
+    # we should see more than one distinct value
+    assert len(np.unique(rows[..., 0])) > 1
+
+
+def test_position_bounds_are_cached_constants():
+    a = position_interval_bounds(280, 56, 128)
+    b = position_interval_bounds(280, 56, 128)
+    assert a[0] is b[0]  # lru_cache hit -> no recompute
