@@ -1,0 +1,189 @@
+"""Pallas TPU flash attention with a static block-causal mask.
+
+The reference materializes full (B, H, S, S) attention-weight tensors
+through flax's stock attention (reference: attention_blocks/attention.py:59
+via flax SelfAttention; masks repeated per head/batch,
+models/octo/octo.py:119).  This kernel:
+
+* never materializes the (S, S) weights in HBM — online-softmax
+  accumulation over key tiles entirely in VMEM;
+* consumes the **static** sequence mask once (int8 constant baked into the
+  program), instead of a per-batch-per-head broadcast tensor;
+* skips key tiles that the mask rules out for a whole query tile, using a
+  scalar-prefetched per-q-tile upper bound (OCTO's block-causal mask is
+  prefix-shaped for every query tile, so a bound — not a bitmap — suffices);
+* accumulates in float32 regardless of input dtype (bf16-safe).
+
+Layout: (B, S, H, D) inputs; grid (B*H, num_q_tiles); K/V live in VMEM per
+(batch*head) program, so the kernel targets S up to a few thousand tokens —
+the regime of multi-camera/history OCTO sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "make_attention_fn"]
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                  block_k: int, sm_scale: float, num_k_blocks: int,
+                  num_heads: int, head_dim: int):
+    """One program handles a (batch, q-tile) pair for ALL heads: the mask
+    tile and K/V rows are loaded once and reused across heads (the mask is
+    head-independent), and the grid is H× coarser than one-program-per-head
+    — grid steps on TPU are sequential, so fewer, fatter programs win."""
+    qi = pl.program_id(1)
+    k_hi = k_hi_ref[qi]  # number of key tiles this query tile attends into
+    d = head_dim
+
+    for h in range(num_heads):
+        q = q_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)  # (BQ, D)
+        block_q = q.shape[0]
+        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+        def body(i, carry):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            v = v_ref[0, pl.ds(i * block_k, block_k),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # (BQ, BK)
+            mask = mask_ref[:, pl.ds(i * block_k, block_k)]
+            s = jnp.where(mask != 0, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m, l, acc = jax.lax.fori_loop(0, k_hi, body, (m0, l0, acc0))
+        # fully-masked (padding) query rows have l == 0; emit zeros, not NaN
+        o_ref[0, :, h * d:(h + 1) * d] = (
+            acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("mask_key", "block_q", "block_k",
+                                             "interpret"))
+def _flash_attention_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
+                          block_k, interpret):
+    b, s, h, d = q.shape
+    s_pad = mask_i8.shape[0]
+    num_q_blocks = s_pad // block_q
+    num_k_blocks = s_pad // block_k
+    sm_scale = 1.0 / math.sqrt(d)
+
+    def to_bshd_flat(x):
+        # (B, S, H, D) -> (B, S_pad, H*D): contiguous, no transpose needed
+        x = _pad_to(x, s_pad, axis=1)
+        return x.reshape(b, s_pad, h * d)
+
+    qf, kf, vf = to_bshd_flat(q), to_bshd_flat(k), to_bshd_flat(v)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h * d), lambda bi, qi, *_: (bi, qi, 0)),
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, qi, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, qi, *_: (bi, 0, 0)),
+            pl.BlockSpec((block_q, s_pad), lambda bi, qi, *_: (qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h * d),
+                               lambda bi, qi, *_: (bi, qi, 0)),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale,
+                          num_k_blocks=num_k_blocks, num_heads=h, head_dim=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
+        interpret=interpret,
+    )(k_hi, qf, kf, vf, mask_i8)
+
+    return out[:, :s, :].reshape(b, s, h, d)
+
+
+@functools.lru_cache(maxsize=None)
+def _mask_tables(mask_key, block_q: int, block_k: int):
+    mask = np.asarray(_MASK_REGISTRY[mask_key])
+    s = mask.shape[0]
+    s_pad = max(block_q, block_k) * -(-s // max(block_q, block_k))
+    s_pad = -(-s_pad // block_q) * block_q
+    s_pad = -(-s_pad // block_k) * block_k
+    padded = np.zeros((s_pad, s_pad), dtype=np.int8)
+    padded[:s, :s] = mask.astype(np.int8)
+    num_q = s_pad // block_q
+    k_hi = np.zeros((num_q,), dtype=np.int32)
+    for qi in range(num_q):
+        rows = padded[qi * block_q:(qi + 1) * block_q]
+        cols = np.nonzero(rows.any(axis=0))[0]
+        k_hi[qi] = 0 if cols.size == 0 else (cols.max() // block_k) + 1
+    return padded, k_hi
+
+
+# Static masks are registered by value-hash so jit caching and lru caching
+# key on content, not array identity.
+_MASK_REGISTRY = {}
+
+
+def _register_mask(mask: np.ndarray) -> int:
+    key = hash(mask.tobytes()) ^ hash(mask.shape)
+    _MASK_REGISTRY[key] = mask
+    return key
+
+
+def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
+                    block_k: int = 128, interpret: bool = False):
+    """Masked multi-head attention: (B, S, H, D) -> (B, S, H, D).
+
+    ``mask`` must be a *static* numpy bool (S, S) array — queries attend to
+    keys where True.  Sequences are padded to tile multiples internally.
+    """
+    if not isinstance(mask, np.ndarray):
+        raise TypeError("flash_attention requires a static numpy mask")
+    s = q.shape[1]
+    if mask.shape != (s, s):
+        raise ValueError(f"mask shape {mask.shape} != ({s}, {s})")
+    mask_key = _register_mask(mask)
+    padded, k_hi = _mask_tables(mask_key, block_q, block_k)
+    return _flash_attention_impl(
+        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), mask_key=mask_key,
+        block_q=block_q, block_k=block_k, interpret=interpret)
+
+
+def make_attention_fn(mask: np.ndarray, *, block_q: int = 128,
+                      block_k: int = 128, interpret: bool = False):
+    """Adapter producing the ``attention_fn`` hook used by
+    modules.attention.MultiHeadAttention."""
+    def attention_fn(q, k, v, _mask_ignored=None):
+        return flash_attention(q, k, v, mask, block_q=block_q,
+                               block_k=block_k, interpret=interpret)
+    return attention_fn

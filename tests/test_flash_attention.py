@@ -1,0 +1,79 @@
+"""Flash-attention kernel vs jnp reference attention (interpret mode on CPU;
+the same kernel compiles on TPU via bench/serving paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.ops.flash_attention import (
+    flash_attention,
+)
+from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
+    SequenceLayout,
+)
+
+
+def reference_attention(q, k, v, mask):
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+    logits = jnp.where(jnp.asarray(mask)[None, None], logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+def _rand_qkv(key, b, s, h, d):
+    ks = jax.random.split(key, 3)
+    shape = (b, s, h, d)
+    return (jax.random.normal(ks[0], shape), jax.random.normal(ks[1], shape),
+            jax.random.normal(ks[2], shape))
+
+
+@pytest.mark.parametrize("s,block", [(74, 128), (200, 128), (74, 32)])
+def test_flash_matches_reference_octo_mask(s, block):
+    if s == 74:
+        mask = SequenceLayout.from_strings(
+            "[TaskDescriptionPrefix{16}] [Image{25};Readout{4}]*2"
+        ).attention_mask()
+    else:
+        rng = np.random.default_rng(0)
+        mask = rng.random((s, s)) < 0.5
+        mask |= np.eye(s, dtype=bool)  # every query has >=1 valid key
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 2, s, 3, 64)
+
+    out = flash_attention(q, k, v, mask, block_q=block, block_k=block,
+                          interpret=True)
+    ref = reference_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_flash_tile_skipping_correct():
+    """Block-causal mask where late key tiles are dead for early q tiles —
+    skipped tiles must not change the result."""
+    s, block = 256, 64
+    mask = np.tril(np.ones((s, s), dtype=bool))  # causal: prefix per q tile
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), 1, s, 2, 32)
+    out = flash_attention(q, k, v, mask, block_q=block, block_k=block,
+                          interpret=True)
+    ref = reference_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_flash_bf16_inputs():
+    mask = np.tril(np.ones((74, 74), dtype=bool))
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 2, 74, 3, 64)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash_attention(q, k, v, mask, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = reference_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32), mask)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_rejects_traced_mask():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 8, 1, 8)
+    with pytest.raises(TypeError):
+        flash_attention(q, k, v, jnp.ones((8, 8), dtype=bool))
