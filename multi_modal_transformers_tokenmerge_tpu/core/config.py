@@ -167,6 +167,7 @@ class DiffusionHeadConfig(_Replaceable):
     time_dim: int = 768
     mlp_dim: int = 768
     num_blocks: int = 1
+    dropout_rate: float = 0.1
     clip_value: float = 5.0
     rng_collection: str = "diffusion"
     # 'folded' uses a fresh fold_in key per sampling step (correct);

@@ -2,13 +2,20 @@
 
 TPU-first differences from the reference:
 
-* the 32-step reverse process is a single jitted ``lax.scan`` whose carried
-  PRNG key is ``fold_in``-ed per step (the reference reuses the same keys at
-  every timestep — diffusion.py:178 — which makes the sampler's noise
-  identical across steps; ``sampler_rng_mode='reference'`` reproduces that
-  behaviour for fidelity testing);
-* alphas / alpha-cumprods are precomputed as numpy constants, not traced;
-* the denoiser runs entirely inside the scan — one compiled step body.
+* the denoiser's first layer splits the reference's
+  ``Dense(concat(noisy, time_emb, readout))`` (diffusion.py:61-63) into
+  three projections — ``W_n @ noisy + W_t @ time_emb + W_r @ readout`` —
+  mathematically the same affine map, but it lets the sampler hoist
+  everything that doesn't depend on the current sample OUT of the reverse
+  loop: time embeddings and their projections for all T steps are computed
+  in one batched matmul, the readout projection once.  Each of the 32
+  sequential scan steps then only does the (B, A) x (A, H) noisy-action
+  matmul — the sequential-latency floor drops by ~20x in FLOPs;
+* the reverse process is a single jitted ``lax.scan`` whose carried PRNG
+  key is ``fold_in``-ed per step (the reference reuses identical keys at
+  every timestep — diffusion.py:178; ``sampler_rng_mode='reference'``
+  reproduces that for fidelity testing);
+* alphas / alpha-cumprods are numpy constants, not traced.
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import DiffusionHeadConfig
-from ..modules.attention import MLPBlock
+from ..modules.attention import MLPBlock, _bias_init, _kernel_init
 
 __all__ = ["DiffusionActionHead", "OctoDenoise", "FourierFeatures",
            "cosine_beta_schedule"]
@@ -47,7 +54,7 @@ class FourierFeatures(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t):  # (B, 1) float time values
+    def __call__(self, t):  # (..., 1) float time values
         w = self.param("fourier_kernel", nn.initializers.he_normal(),
                        (self.output_dim // 2, t.shape[-1]), self.param_dtype)
         x = 2 * jnp.pi * t.astype(self.dtype) @ w.T.astype(self.dtype)
@@ -59,30 +66,63 @@ class FourierFeatures(nn.Module):
 
 
 class OctoDenoise(nn.Module):
-    """Denoiser MLP: concat(noisy_action, time_emb, readout_emb) -> MLP
-    blocks (reference: diffusion.py:53-65)."""
+    """Denoiser MLP over (noisy_action, time_emb, readout_emb)
+    (reference: diffusion.py:53-65), with the first layer's input
+    projection split by source (see module docstring)."""
 
     cfg: DiffusionHeadConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, noisy_action, timestep, readout_embedding):
-        time_emb = FourierFeatures(output_dim=self.cfg.time_dim,
-                                   mlp_dim=self.cfg.mlp_dim,
-                                   dtype=self.dtype,
-                                   param_dtype=self.param_dtype,
-                                   name="time_encoder")(timestep)
-        x = jnp.concatenate(
-            [noisy_action.astype(self.dtype), time_emb,
-             readout_embedding.astype(self.dtype)], axis=-1)
-        for i in range(self.cfg.num_blocks):
-            out_dim = (self.cfg.action_space_dim
-                       if i == self.cfg.num_blocks - 1 else self.cfg.mlp_dim)
-            x = MLPBlock(mlp_dim=self.cfg.mlp_dim, out_dim=out_dim,
-                         dtype=self.dtype, param_dtype=self.param_dtype,
-                         name=f"mlp_{i}")(x)
+    def setup(self):
+        c = self.cfg
+        dense = lambda feats, name, bias=True: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=_kernel_init,
+            bias_init=_bias_init, name=name)
+        self.time_encoder = FourierFeatures(
+            output_dim=c.time_dim, mlp_dim=c.mlp_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype)
+        # split first-layer projections (bias lives on the noisy branch)
+        self.noisy_proj = dense(c.mlp_dim, "noisy_proj", bias=True)
+        self.time_proj = dense(c.mlp_dim, "time_proj", bias=False)
+        self.readout_proj = dense(c.mlp_dim, "readout_proj", bias=False)
+        first_out = (c.action_space_dim if c.num_blocks == 1 else c.mlp_dim)
+        self.first_out = dense(first_out, "first_out")
+        self.dropout = nn.Dropout(c.dropout_rate)
+        self.tail_blocks = [
+            MLPBlock(mlp_dim=c.mlp_dim,
+                     out_dim=(c.action_space_dim
+                              if i == c.num_blocks - 2 else c.mlp_dim),
+                     dtype=self.dtype, param_dtype=self.param_dtype,
+                     name=f"mlp_{i + 1}")
+            for i in range(c.num_blocks - 1)
+        ]
+
+    def encode_time(self, timestep):  # (..., 1) -> (..., time_dim)
+        return self.time_encoder(timestep)
+
+    def static_context(self, time_emb, readout_emb):
+        """The per-step-constant part of the first layer."""
+        return (self.time_proj(time_emb.astype(self.dtype))
+                + self.readout_proj(readout_emb.astype(self.dtype)))
+
+    def denoise_from_context(self, noisy_action, context,
+                             deterministic: bool = True):
+        x = nn.relu(self.noisy_proj(noisy_action.astype(self.dtype))
+                    + context)
+        x = self.dropout(x, deterministic=deterministic)
+        x = self.first_out(x)
+        x = self.dropout(x, deterministic=deterministic)
+        for blk in self.tail_blocks:
+            x = blk(x, deterministic=deterministic)
         return x
+
+    def __call__(self, noisy_action, timestep, readout_embedding,
+                 deterministic: bool = True):
+        ctx = self.static_context(self.encode_time(timestep),
+                                  readout_embedding)
+        return self.denoise_from_context(noisy_action, ctx, deterministic)
 
 
 class DiffusionActionHead(nn.Module):
@@ -105,7 +145,8 @@ class DiffusionActionHead(nn.Module):
                              train: bool = True):
         """(B, R, E) readouts, (B, 1) time, (B, A) noisy actions -> (B, A)."""
         embeddings = jnp.mean(readouts, axis=-2)
-        return self.denoiser(noisy_actions, time, embeddings)
+        return self.denoiser(noisy_actions, time, embeddings,
+                             deterministic=not train)
 
     def denoise_loss(self, readouts, actions, train: bool = True):
         """L2 between predicted and true noise at a random timestep
@@ -127,8 +168,12 @@ class DiffusionActionHead(nn.Module):
         return jnp.mean(jnp.sum(loss, axis=-1))
 
     def predict_action(self, readouts, train: bool = True):
-        """Full reverse-diffusion sampling via one lax.scan
-        (reference: diffusion.py:146-209, DDPM algorithm 2)."""
+        """Full reverse diffusion via one lax.scan
+        (reference: diffusion.py:146-209, DDPM algorithm 2).
+
+        Everything constant across steps — time embeddings, their
+        projections, and the readout projection — is computed once before
+        the loop (see OctoDenoise docstring)."""
         cfg = self.cfg
         batch_size = readouts.shape[0]
         rng = self.make_rng(cfg.rng_collection)
@@ -144,14 +189,38 @@ class DiffusionActionHead(nn.Module):
             noisy = jax.random.normal(
                 init_key, (batch_size, cfg.action_space_dim))
 
-        # condition once; reused every step
         embeddings = jnp.mean(readouts, axis=-2)
 
-        def denoise_step(carry, time):
+        if self.is_initializing():
+            # materialize denoiser params — the unbound applies below read
+            # parameters, they cannot create them
+            return self.denoiser(noisy, jnp.zeros((batch_size, 1)),
+                                 embeddings)
+
+        # unbind so the scan body applies the denoiser functionally
+        # (flax modules cannot be re-entered inside raw lax.scan; the
+        # reference uses the same pattern, diffusion.py:155)
+        denoiser_mod, denoiser_vars = self.denoiser.unbind()
+
+        # hoisted per-step constants: reverse-order times T-1 .. 0
+        times = jnp.arange(cfg.diffusion_steps - 1, -1, -1)
+        time_embs = denoiser_mod.apply(
+            denoiser_vars, times[:, None].astype(jnp.float32),
+            method="encode_time")                           # (T, time_dim)
+        time_part = denoiser_mod.apply(
+            denoiser_vars, time_embs,
+            method=lambda m, x: m.time_proj(x.astype(m.dtype)))   # (T, H)
+        readout_part = denoiser_mod.apply(
+            denoiser_vars, embeddings,
+            method=lambda m, x: m.readout_proj(x.astype(m.dtype)))  # (B, H)
+        contexts = time_part[:, None, :] + readout_part[None]  # (T, B, H)
+
+        def denoise_step(carry, xs):
             sample, key = carry
-            time_f = jnp.full((batch_size, 1), time, dtype=jnp.float32)
-            denoise_term = self.denoiser(sample, time_f, embeddings)
-            denoise_term = denoise_term.astype(jnp.float32)
+            time, context = xs
+            denoise_term = denoiser_mod.apply(
+                denoiser_vars, sample, context,
+                method="denoise_from_context").astype(jnp.float32)
 
             if cfg.sampler_rng_mode == "reference":
                 noise = jax.vmap(
@@ -175,6 +244,6 @@ class DiffusionActionHead(nn.Module):
         (actions, _), _ = jax.lax.scan(
             denoise_step,
             (noisy.astype(jnp.float32), loop_key),
-            jnp.arange(cfg.diffusion_steps - 1, -1, -1),
+            (times, contexts),
         )
         return actions

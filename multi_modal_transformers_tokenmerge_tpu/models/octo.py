@@ -118,14 +118,27 @@ class Octo(nn.Module):
     # backbone
     # ------------------------------------------------------------------
 
+    def encode_text(self, text_tokens):
+        """Text tower only: (B, T) ids -> (B, T, E) embeddings.
+
+        Split out so serving can cache instruction embeddings — the frozen
+        T5 tower dominates FLOPs at OCTO sequence lengths, and a robot
+        policy typically runs thousands of steps under one instruction."""
+        return self.text_encoder(text_tokens)
+
     def generate_readouts(self, text_tokens, images, train: bool = False):
         """Encode modalities, assemble the interleaved sequence, run the
         transformer, return readout-token embeddings
         (reference: octo.py:91-126)."""
+        return self.generate_readouts_with_text(
+            self.encode_text(text_tokens), images, train)
+
+    def generate_readouts_with_text(self, text_embeddings, images,
+                                    train: bool = False):
+        """Backbone with precomputed text embeddings (cached-text serving)."""
         cfg = self.config
         batch_size = images.shape[0]
 
-        text_embeddings = self.text_encoder(text_tokens)
         image_embeddings = self.image_encoder(images, train=train)
         readout_embeddings = self.readout_tokens(batch_size)
 
@@ -209,3 +222,26 @@ class Octo(nn.Module):
                                  train: bool = False):
         readouts = self.generate_readouts(text_tokens, images, train)
         return self.diffusion_action_head.predict_action(readouts, train)
+
+    # ------------------------------------------------------------------
+    # cached-text serving variants (no reference equivalent: the reference
+    # re-runs its frozen T5 tower every call, octo.py:98)
+    # ------------------------------------------------------------------
+
+    def predict_diffusion_action_with_text(self, text_embeddings, images,
+                                           train: bool = False):
+        readouts = self.generate_readouts_with_text(text_embeddings, images,
+                                                    train)
+        return self.diffusion_action_head.predict_action(readouts, train)
+
+    def predict_continuous_action_with_text(self, text_embeddings, images,
+                                            train: bool = False):
+        readouts = self.generate_readouts_with_text(text_embeddings, images,
+                                                    train)
+        return self.continuous_action_head(readouts)
+
+    def predict_action_logits_with_text(self, text_embeddings, images,
+                                        train: bool = False):
+        readouts = self.generate_readouts_with_text(text_embeddings, images,
+                                                    train)
+        return self.categorical_action_head(readouts)

@@ -1,14 +1,14 @@
-"""AOT-compiled policy inference engine.
+"""AOT-compiled policy inference engine with instruction caching.
 
 The reference's serving story is ``model.apply(..., method=...)`` per call —
-untraced Python dispatch every step (reference: models/octo/octo.py:431-443).
-This engine:
+untraced Python dispatch, re-running the frozen T5 text tower every step
+(reference: models/octo/octo.py:431-443, :98).  This engine:
 
 * AOT-compiles each predict method once (``jax.jit(...).lower().compile()``)
   for a fixed batch shape, so serving never pays trace overhead;
-* optionally caches text-tower embeddings per instruction — the frozen T5
-  tower dominates FLOPs at 74-token sequences, and robot policies usually
-  run thousands of steps under one instruction (SURVEY.md §7 hard parts);
+* caches text-tower embeddings per instruction (``set_instruction``) — the
+  T5 tower dominates FLOPs at 74-token sequences, and robot policies run
+  thousands of steps per instruction;
 * manages the action-sampling PRNG stream on device.
 """
 
@@ -29,29 +29,64 @@ _PREDICT_METHODS = {
     "diffusion": "predict_diffusion_action",
 }
 
+_CACHED_METHODS = {
+    "continuous": "predict_continuous_action_with_text",
+    "categorical": "predict_action_logits_with_text",
+    "diffusion": "predict_diffusion_action_with_text",
+}
+
 
 class PolicyEngine:
     """Batched obs->action serving for an Octo model."""
 
     def __init__(self, model, variables, head: str = "diffusion",
                  batch_size: int = 1, rng: Optional[jax.Array] = None,
-                 donate_inputs: bool = False):
+                 cache_text: bool = True):
         if head not in _PREDICT_METHODS:
             raise ValueError(
                 f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
+        configured = getattr(model.config.heads, head, None)
+        if configured is None:
+            available = [h for h in _PREDICT_METHODS
+                         if getattr(model.config.heads, h, None) is not None]
+            raise ValueError(
+                f"model has no {head!r} head configured; available: "
+                f"{available}")
         self.model = model
         self.variables = variables
         self.head = head
         self.batch_size = batch_size
+        self.cache_text = cache_text
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._step = 0
         self._compiled = None
-        self._text_cache: Dict[Tuple[int, ...], jax.Array] = {}
+        self._compiled_cached = None
+        self._text_embeddings = None
+
+    # -- instruction caching ----------------------------------------------
+
+    def set_instruction(self, text_tokens) -> "PolicyEngine":
+        """Encode and cache the instruction's text-tower embeddings; later
+        calls skip the text tower entirely."""
+        self._text_embeddings = self._encode_text_fn()(
+            self.variables, jnp.asarray(text_tokens))
+        return self
+
+    @functools.lru_cache(maxsize=None)
+    def _encode_text_fn(self):
+        return jax.jit(lambda v, t: self.model.apply(v, t,
+                                                     method="encode_text"))
 
     # -- compilation -----------------------------------------------------
 
     def compile(self, text_shape, image_shape) -> "PolicyEngine":
-        """AOT-compile the predict function for fixed input shapes."""
+        """AOT-compile the predict function(s) for fixed input shapes."""
+        var_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.variables)
+        images = jax.ShapeDtypeStruct((self.batch_size, *image_shape),
+                                      jnp.float32)
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
         method = _PREDICT_METHODS[self.head]
 
         def fn(variables, text_tokens, images, key):
@@ -60,32 +95,59 @@ class PolicyEngine:
                                     rngs=rngs, method=method)
 
         text = jax.ShapeDtypeStruct((self.batch_size, *text_shape), jnp.int32)
-        images = jax.ShapeDtypeStruct((self.batch_size, *image_shape),
-                                      jnp.float32)
-        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-        var_shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.variables)
         self._compiled = (
             jax.jit(fn).lower(var_shapes, text, images, key).compile())
+
+        if self.cache_text:
+            cached_method = _CACHED_METHODS[self.head]
+            emb_dim = self.model.config.token_embedding_dim
+
+            def fn_cached(variables, text_embeddings, images, key):
+                rngs = {"diffusion": key} if self.head == "diffusion" else None
+                return self.model.apply(variables, text_embeddings, images,
+                                        rngs=rngs, method=cached_method)
+
+            text_emb = jax.ShapeDtypeStruct(
+                (self.batch_size, *text_shape, emb_dim),
+                self.model.config.compute_dtype)
+            self._compiled_cached = (
+                jax.jit(fn_cached).lower(var_shapes, text_emb, images,
+                                         key).compile())
         return self
 
     # -- serving ---------------------------------------------------------
 
-    def __call__(self, text_tokens, images) -> jax.Array:
-        """One obs->action inference.  Inputs: (B, T) int32, (B, ..., H, W, C)."""
+    def __call__(self, images, text_tokens=None) -> jax.Array:
+        """One obs->action inference.
+
+        With a cached instruction (``set_instruction``), only images are
+        needed; passing ``text_tokens`` overrides the cache for this call.
+        """
         key = jax.random.fold_in(self._rng, self._step)
         self._step += 1
+        rngs = {"diffusion": key} if self.head == "diffusion" else None
+
+        if text_tokens is None:
+            if self._text_embeddings is None:
+                raise ValueError(
+                    "no instruction set: call set_instruction(text_tokens) "
+                    "or pass text_tokens")
+            if self._compiled_cached is not None:
+                return self._compiled_cached(
+                    self.variables, self._text_embeddings, images,
+                    jax.random.key_data(key))
+            return self._jitted(_CACHED_METHODS[self.head])(
+                self.variables, self._text_embeddings, images, rngs)
+
         if self._compiled is not None:
             return self._compiled(self.variables, text_tokens, images,
                                   jax.random.key_data(key))
-        method = _PREDICT_METHODS[self.head]
-        rngs = {"diffusion": key} if self.head == "diffusion" else None
-        return self._jitted_apply(method)(self.variables, text_tokens,
-                                          images, rngs)
+        return self._jitted(_PREDICT_METHODS[self.head])(
+            self.variables, text_tokens, images, rngs)
 
     @functools.lru_cache(maxsize=None)
-    def _jitted_apply(self, method):
-        def fn(variables, text_tokens, images, rngs):
-            return self.model.apply(variables, text_tokens, images,
+    def _jitted(self, method):
+        def fn(variables, text_arg, images, rngs):
+            return self.model.apply(variables, text_arg, images,
                                     rngs=rngs, method=method)
         return jax.jit(fn)

@@ -1,0 +1,57 @@
+"""Training loop driver.
+
+The reference has no loop — only per-step functions the user must wire up
+(reference: models/octo/octo.py:204-320).  This driver runs jitted donated
+steps over a batch iterator with periodic metric draining and async
+checkpointing, optionally sharded over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import jax
+
+from ..parallel.mesh import batch_sharding
+from .state import OctoTrainState
+from .steps import make_train_step
+
+__all__ = ["fit"]
+
+
+def fit(state: OctoTrainState,
+        batches: Iterable,
+        head: str,
+        num_steps: int,
+        mesh=None,
+        logger=None,
+        log_every: int = 50,
+        checkpointer=None,
+        checkpoint_every: int = 1000,
+        step_fn: Optional[Callable] = None) -> OctoTrainState:
+    """Run ``num_steps`` train steps.
+
+    ``batches`` yields ``(text_tokens, images, actions)``.  With a mesh,
+    batches are placed batch-sharded along the data axis before each step.
+    """
+    step = step_fn if step_fn is not None else make_train_step(head)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    it = iter(batches)
+    for i in range(num_steps):
+        batch = next(it)
+        if sharding is not None:
+            batch = tuple(jax.device_put(x, sharding) for x in batch)
+        state, loss = step(state, *batch)
+
+        step_no = int(state.step)
+        if logger is not None and (i + 1) % log_every == 0:
+            metrics = jax.device_get(state.metrics.compute())
+            logger.log({**metrics, "last_loss": float(loss)}, step=step_no)
+        if checkpointer is not None and (i + 1) % checkpoint_every == 0:
+            checkpointer.save(step_no, state)
+
+    if checkpointer is not None:
+        checkpointer.save(int(state.step), state)
+        checkpointer.wait()
+    return state

@@ -1,0 +1,125 @@
+"""Training loop, checkpoint roundtrip, and serving-engine tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+from multi_modal_transformers_tokenmerge_tpu.serve.policy import PolicyEngine
+from multi_modal_transformers_tokenmerge_tpu.train.checkpoint import (
+    CheckpointManager,
+)
+from multi_modal_transformers_tokenmerge_tpu.train.loop import fit
+from multi_modal_transformers_tokenmerge_tpu.train.state import (
+    create_train_state,
+)
+from multi_modal_transformers_tokenmerge_tpu.train.steps import make_train_step
+
+from micro_configs import octo_micro
+
+
+def _fresh_variables(variables):
+    """Deep-copy params: jitted train steps donate the state, invalidating
+    the original buffers — each test needs its own copy."""
+    return jax.tree.map(jnp.array, variables)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = octo_micro()
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((4, 4), dtype=jnp.int32)
+    images = jax.random.uniform(keys[0], (4, 64, 64, 3)) * 255
+    actions = jnp.full((4, 4), 0.3)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        text, images)
+    return cfg, model, variables, keys, text, images, actions
+
+
+def test_training_reduces_loss(setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    step = make_train_step("continuous")
+    _, loss0 = step(state, text, images, actions)
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+
+    def batches():
+        while True:
+            yield (text, images, actions)
+
+    state = fit(state, batches(), head="continuous", num_steps=30)
+    assert int(state.step) == 30
+    _, loss_end = make_train_step("continuous", donate=False)(
+        state, text, images, actions)
+    assert float(loss_end) < float(loss0)
+
+
+def test_diffusion_train_step(setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1],
+              "diffusion": keys[3]})
+    step = make_train_step("diffusion")
+    state, loss = step(state, text, images, actions)
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    step = make_train_step("continuous")
+    state, _ = step(state, text, images, actions)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(int(state.step), state)
+    mgr.wait()
+    assert mgr.latest_step() == 1
+
+    restored = mgr.restore(abstract_state=jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_policy_engine_cached_text_matches(setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    engine = PolicyEngine(model, variables, head="continuous", batch_size=4)
+    direct = engine(images, text_tokens=text)
+
+    engine2 = PolicyEngine(model, variables, head="continuous", batch_size=4)
+    engine2.set_instruction(text)
+    cached = engine2(images)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(cached),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_policy_engine_requires_instruction(setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    engine = PolicyEngine(model, variables, head="continuous", batch_size=4)
+    with pytest.raises(ValueError):
+        engine(images)
+
+
+def test_policy_engine_aot_cached(setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    engine = PolicyEngine(model, variables, head="continuous",
+                          batch_size=4).compile((4,), (64, 64, 3))
+    engine.set_instruction(text)
+    a = engine(images)
+    b = engine(images, text_tokens=text)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)
