@@ -22,7 +22,8 @@ from ..core.config import (
     TransformerConfig,
 )
 
-__all__ = ["octo_tiny", "octo_small", "octo_base", "get_preset", "PRESETS"]
+__all__ = ["octo_tiny", "octo_small", "octo_base", "octo_multicam",
+           "octo_base_deep", "get_preset", "PRESETS"]
 
 
 def octo_tiny(**overrides) -> OctoConfig:
@@ -106,10 +107,38 @@ def octo_base(**overrides) -> OctoConfig:
     return cfg.replace(**overrides)
 
 
+def octo_multicam(**overrides) -> OctoConfig:
+    """BASELINE config 4: multi-camera / 2-frame history — base + wrist
+    views per timestep, readout tokens, longer (124-token) sequence."""
+    base = octo_base()
+    cfg = base.replace(
+        input_sequence=(
+            "[TaskDescriptionPrefix{16}] "
+            "[Image{25};Image{25};Readout{4}]*2"),
+    )
+    return cfg.replace(**overrides)
+
+
+def octo_base_deep(**overrides) -> OctoConfig:
+    """12-block OCTO-Base variant with ToMe: the regime where per-layer
+    token merging actually pays (the committed reference config has ONE
+    block, where compression is a no-op — BASELINE.md)."""
+    base = octo_base()
+    cfg = base.replace(
+        compression_sequence=(
+            "[TaskDescriptionPrefix{0}] [Image{1};Readout{0}]*2"),
+        transformer=base.transformer.replace(
+            num_blocks=12, compression_mode="merge"),
+    )
+    return cfg.replace(**overrides)
+
+
 PRESETS = {
     "octo_tiny": octo_tiny,
     "octo_small": octo_small,
     "octo_base": octo_base,
+    "octo_multicam": octo_multicam,
+    "octo_base_deep": octo_base_deep,
 }
 
 

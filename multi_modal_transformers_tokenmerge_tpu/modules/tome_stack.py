@@ -49,6 +49,10 @@ def _merge_sets(x, size, metric, layout: SequenceLayout, layer: int):
 
     x: (B, S_l, E); size: (B, S_l, 1); metric: (B, S_l, D).
     Returns (B, S_{l+1}, E), (B, S_{l+1}, 1).
+
+    Uses 'stable' match ordering (original token order preserved, no full
+    argsort) — valid because masks are set-granular, so within-set order is
+    free.
     """
     slices = layout.set_slices(layer)
     next_counts = layout.set_counts_at_layer(layer + 1)
@@ -58,7 +62,8 @@ def _merge_sets(x, size, metric, layout: SequenceLayout, layer: int):
         s_i = size[:, start:start + n]
         r = n - n_next
         if r > 0:
-            plan = bipartite_soft_matching(metric[:, start:start + n], r)
+            plan = bipartite_soft_matching(metric[:, start:start + n], r,
+                                           ordering="stable")
             x_i, s_i = merge_wavg(plan, x_i, s_i)
         xs.append(x_i)
         sizes.append(s_i)
@@ -103,18 +108,31 @@ class CompressedEncoderBlock(nn.Module):
         y = ln("ln_attention")(x)
         q, k, v = proj("query")(y), proj("key")(y), proj("value")(y)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / np.sqrt(head_dim)
-        if c.proportional_attention:
-            logits = logits + jnp.log(size)[:, None, :, 0][:, :, None, :]
-        logits = jnp.where(mask[None, None], logits,
-                           jnp.finfo(jnp.float32).min)
-        weights = jax.nn.softmax(logits, axis=-1)
-        if a.dropout_rate > 0.0 and not deterministic:
-            weights = nn.Dropout(a.dropout_rate)(
-                weights, deterministic=deterministic)
-        attn_out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(self.dtype), v)
+        # explicit attention weights are only needed for the pruning
+        # importance signal, proportional attention, or weight dropout;
+        # otherwise use XLA's fused attention (cheaper to run AND compile —
+        # each compressed layer is a distinct-shape compilation unit)
+        need_weights = (c.compression_mode == "prune"
+                        or c.proportional_attention
+                        or (a.dropout_rate > 0.0 and not deterministic))
+        if need_weights:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits / np.sqrt(head_dim)
+            if c.proportional_attention:
+                logits = logits + jnp.log(size)[:, None, :, 0][:, :, None, :]
+            logits = jnp.where(mask[None, None], logits,
+                               jnp.finfo(jnp.float32).min)
+            weights = jax.nn.softmax(logits, axis=-1)
+            if a.dropout_rate > 0.0 and not deterministic:
+                weights = nn.Dropout(a.dropout_rate)(
+                    weights, deterministic=deterministic)
+            attn_out = jnp.einsum("bhqk,bkhd->bqhd",
+                                  weights.astype(self.dtype), v)
+        else:
+            weights = None
+            attn_out = jax.nn.dot_product_attention(
+                q, k, v, mask=mask[None, None])
 
         y = nn.DenseGeneral(features=x.shape[-1], axis=(-2, -1),
                             use_bias=a.use_bias, dtype=self.dtype,

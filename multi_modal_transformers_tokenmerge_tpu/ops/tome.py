@@ -39,7 +39,8 @@ class BipartiteMatching(NamedTuple):
 
 def bipartite_soft_matching(metric: jax.Array, r: int,
                             class_token: bool = False,
-                            distill_token: bool = False) -> Optional[BipartiteMatching]:
+                            distill_token: bool = False,
+                            ordering: str = "score") -> Optional[BipartiteMatching]:
     """Compute the ToMe merge plan from a similarity metric.
 
     Args:
@@ -48,6 +49,12 @@ def bipartite_soft_matching(metric: jax.Array, r: int,
         r: number of tokens to remove (must satisfy ``r <= (T-protected)//2``;
             unlike the reference we *raise* instead of silently clamping so
             static layouts can't drift).
+        ordering: 'score' reproduces the reference exactly (unmerged tokens
+            sorted by descending match score — a full argsort,
+            token_compression.py:84).  'stable' keeps unmerged tokens in
+            their original order using top_k(r) + a cumsum compaction — much
+            cheaper to compile and run, and valid wherever within-set token
+            order is free (set-granular masks).
 
     Returns the match plan, or None when r == 0.
     """
@@ -70,10 +77,30 @@ def bipartite_soft_matching(metric: jax.Array, r: int,
 
     node_max = scores.max(axis=-1)
     node_idx = scores.argmax(axis=-1)
-    edge_idx = jnp.argsort(node_max, axis=-1)[:, ::-1][..., None]
+    t_a = node_max.shape[1]
 
-    unm_idx = edge_idx[..., r:, :]
-    src_idx = edge_idx[..., :r, :]
+    if ordering == "score":
+        edge_idx = jnp.argsort(node_max, axis=-1)[:, ::-1][..., None]
+        unm_idx = edge_idx[..., r:, :]
+        src_idx = edge_idx[..., :r, :]
+    elif ordering == "stable":
+        _, top = jax.lax.top_k(node_max, r)           # (B, r) merged sources
+        src_idx = top[..., None]
+        is_src = jax.nn.one_hot(top, t_a, dtype=jnp.int32).sum(axis=1)
+        keep = 1 - is_src                              # (B, t_a)
+        # compaction: original-order positions of kept tokens via cumsum
+        pos = jnp.cumsum(keep, axis=1) - 1
+        dump = t_a - r  # parked slot for merged tokens
+        target = jnp.where(keep == 1, pos, dump)
+        idx = jnp.broadcast_to(
+            jnp.arange(t_a, dtype=jnp.int32)[None], keep.shape)
+        bsz = keep.shape[0]
+        buf = jnp.zeros((bsz, t_a - r + 1), jnp.int32)
+        buf = buf.at[jnp.arange(bsz)[:, None], target].set(idx)
+        unm_idx = buf[:, :t_a - r, None]
+    else:
+        raise ValueError(f"unknown ordering {ordering!r}")
+
     dst_idx = jnp.take_along_axis(node_idx[..., None], src_idx, axis=-2)
     return BipartiteMatching(unm_idx, src_idx, dst_idx, r)
 
