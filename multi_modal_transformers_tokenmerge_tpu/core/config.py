@@ -147,6 +147,8 @@ class ContinuousHeadConfig(_Replaceable):
 
     max_action: float = 1.0
     action_space_dim: int = 8
+    pooling: str = "mean"  # 'mean' | 'map' (attention pooling)
+    map_num_heads: int = 3
 
 
 @dataclass(frozen=True)

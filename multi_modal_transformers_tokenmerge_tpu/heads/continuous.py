@@ -18,7 +18,16 @@ class ContinuousActionHead(nn.Module):
 
     @nn.compact
     def __call__(self, readouts):  # (B, R, E)
-        emb = jnp.mean(readouts, axis=-2)
+        if self.cfg.pooling == "map":
+            # MAP attention pooling over readout tokens (the reference has
+            # this path commented out, continuous.py:20-21)
+            from ..modules.attention import MultiHeadAttentionPooling
+            emb = MultiHeadAttentionPooling(
+                num_heads=self.cfg.map_num_heads, mlp_dim=readouts.shape[-1],
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="map_pooling")(readouts)[:, 0]
+        else:
+            emb = jnp.mean(readouts, axis=-2)
         mean = nn.Dense(self.cfg.action_space_dim, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         kernel_init=nn.initializers.he_normal(),

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["pairwise_sq_dist", "farthest_point_sampling", "knn",
-           "SampleAndGroup"]
+           "ball_query", "SampleAndGroup"]
 
 
 def pairwise_sq_dist(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -61,6 +61,26 @@ def farthest_point_sampling(points: jax.Array, num_samples: int,
     dists0 = jnp.full((n,), jnp.inf).at[first].set(-jnp.inf)
     sampled, _ = jax.lax.fori_loop(1, num_samples, body, (sampled0, dists0))
     return sampled
+
+
+def ball_query(points: jax.Array, centroids: jax.Array, k: int,
+               radius: float) -> jax.Array:
+    """Indices (M, k) of up to k points within ``radius`` of each centroid
+    (the reference leaves this as an unimplemented stub,
+    point_cloud_tokenizer.py:98-104).
+
+    TPU-friendly static-shape semantics: candidates beyond the radius are
+    replaced by the centroid's nearest neighbour (PointNet++ convention of
+    padding short balls with a duplicate).
+    """
+    d = pairwise_sq_dist(centroids, points)            # (M, N)
+    within = d <= radius * radius
+    # prefer in-radius points, then by distance
+    score = jnp.where(within, -d, -d - 1e9)
+    idx = jax.lax.top_k(score, k)[1]                   # (M, k)
+    nearest = jnp.argmin(d, axis=-1, keepdims=True)    # (M, 1)
+    chosen_within = jnp.take_along_axis(within, idx, axis=-1)
+    return jnp.where(chosen_within, idx, nearest)
 
 
 def knn(points: jax.Array, centroids: jax.Array, k: int,

@@ -47,6 +47,10 @@ class OctoTrainState(flax.struct.PyTreeNode):
     metrics: Metrics
     apply_fn: Callable = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # host-side text tokenizer carried with the state for convenience
+    # (reference: octo.py:328 text_tokenize_fn)
+    text_tokenize_fn: Any = flax.struct.field(pytree_node=False,
+                                              default=None)
 
     def apply_gradients(self, grads) -> "OctoTrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
@@ -62,7 +66,8 @@ class OctoTrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(model, variables, optimizer,
-                       rngs: Dict[str, jax.Array]) -> OctoTrainState:
+                       rngs: Dict[str, jax.Array],
+                       text_tokenize_fn=None) -> OctoTrainState:
     params = variables["params"]
     return OctoTrainState(
         step=jnp.zeros((), jnp.int32),
@@ -72,4 +77,5 @@ def create_train_state(model, variables, optimizer,
         metrics=Metrics.empty(),
         apply_fn=model.apply,
         tx=optimizer,
+        text_tokenize_fn=text_tokenize_fn,
     )

@@ -1,0 +1,110 @@
+"""ctypes bindings for the native C++ word tokenizer.
+
+Compiles ``utils/native/tokenizer.cpp`` with the system C++ toolchain on
+first use (cached as a shared object next to the source) and exposes a
+WordTokenizer-compatible API.  Falls back to the pure-Python
+``modules.text.WordTokenizer`` when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["NativeWordTokenizer", "native_toolchain_available"]
+
+_SRC = os.path.join(os.path.dirname(__file__), "native", "tokenizer.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "native", "_tokenizer.so")
+_build_lock = threading.Lock()
+_lib = None
+
+
+def native_toolchain_available() -> bool:
+    from shutil import which
+    return which("g++") is not None or which("c++") is not None
+
+
+def _build() -> str:
+    from shutil import which
+    cxx = which("g++") or which("c++")
+    if cxx is None:
+        raise RuntimeError("no C++ compiler available")
+    subprocess.run(
+        [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+        check=True, capture_output=True)
+    return _SO
+
+
+def _load():
+    global _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.tok_create.restype = ctypes.c_void_p
+        lib.tok_create.argtypes = [ctypes.c_char_p]
+        lib.tok_vocab_size.restype = ctypes.c_int
+        lib.tok_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.tok_encode_batch.restype = None
+        lib.tok_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.tok_destroy.restype = None
+        lib.tok_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class NativeWordTokenizer:
+    """C++-backed vocabulary-file word tokenizer (pad=0, unk=1).
+
+    Same id assignment as modules.text.WordTokenizer (sorted unique words
+    from index 2), so the two are interchangeable.
+    """
+
+    PAD = 0
+    UNK = 1
+
+    def __init__(self, vocab: Iterable[str], max_length: int = 16):
+        self._lib = _load()
+        blob = "\n".join(vocab).encode("utf-8")
+        self._handle = self._lib.tok_create(blob)
+        if not self._handle:
+            raise RuntimeError("tok_create failed")
+        self.max_length = max_length
+        self.vocab_size = self._lib.tok_vocab_size(self._handle)
+
+    @classmethod
+    def from_corpus(cls, texts: Sequence[str], max_length: int = 16):
+        vocab = set()
+        for t in texts:
+            vocab.update(t.lower().split())
+        return cls(sorted(vocab), max_length=max_length)
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        n = len(texts)
+        out = np.zeros((n, self.max_length), dtype=np.int32)
+        arr = (ctypes.c_char_p * n)(*[t.encode("utf-8") for t in texts])
+        self._lib.tok_encode_batch(
+            self._handle, arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.max_length)
+        return out
+
+    def encode(self, text: str):
+        return self([text])[0].tolist()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.tok_destroy(self._handle)
+        except Exception:
+            pass

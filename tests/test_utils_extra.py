@@ -1,0 +1,126 @@
+"""Tests: native tokenizer parity, data prefetching, ball query, MAP-pooled
+head, distributed helpers, logging."""
+
+import json
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.modules.pointcloud import (
+    ball_query,
+    pairwise_sq_dist,
+)
+from multi_modal_transformers_tokenmerge_tpu.modules.text import WordTokenizer
+from multi_modal_transformers_tokenmerge_tpu.parallel.distributed import (
+    is_multihost,
+    process_info,
+)
+from multi_modal_transformers_tokenmerge_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+)
+from multi_modal_transformers_tokenmerge_tpu.utils.data import (
+    prefetch_to_device,
+    synthetic_octo_batches,
+)
+from multi_modal_transformers_tokenmerge_tpu.utils.logging import MetricLogger
+from multi_modal_transformers_tokenmerge_tpu.utils.native_tokenizer import (
+    NativeWordTokenizer,
+    native_toolchain_available,
+)
+
+
+@pytest.mark.skipif(not native_toolchain_available(),
+                    reason="no C++ toolchain")
+def test_native_tokenizer_matches_python():
+    corpus = ["Pick up the red block", "Place it on the GREEN block",
+              "an unseen zebra word"]
+    py = WordTokenizer.from_corpus(corpus[:2], max_length=8)
+    cc = NativeWordTokenizer.from_corpus(corpus[:2], max_length=8)
+    assert cc.vocab_size == py.vocab_size
+    np.testing.assert_array_equal(cc(corpus), py(corpus))
+    # unknown words map to UNK in both
+    assert cc(["zebra"])[0, 0] == NativeWordTokenizer.UNK
+
+
+@pytest.mark.skipif(not native_toolchain_available(),
+                    reason="no C++ toolchain")
+def test_native_tokenizer_edge_cases():
+    cc = NativeWordTokenizer(["alpha", "beta"], max_length=4)
+    out = cc(["", "alpha " * 10, "ALPHA beta"])
+    assert out.shape == (3, 4)
+    np.testing.assert_array_equal(out[0], [0, 0, 0, 0])  # all pad
+    assert (out[1] == out[1][0]).all()  # truncated repeats
+    assert out[2][0] != out[2][1]
+
+
+def test_prefetch_to_device_order_and_placement():
+    batches = [(np.full((4, 2), i, np.float32),) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, (x,) in enumerate(out):
+        assert isinstance(x, jax.Array)
+        assert float(x[0, 0]) == i
+
+
+def test_prefetch_with_sharding():
+    mesh = make_mesh(data=8, model=1)
+    bs = batch_sharding(mesh)
+    batches = [(np.zeros((8, 3), np.float32),) for _ in range(3)]
+    out = list(prefetch_to_device(iter(batches), size=2, sharding=bs))
+    assert out[0][0].sharding.is_equivalent_to(bs, 2)
+
+
+def test_synthetic_batches_shapes():
+    it = synthetic_octo_batches(4, image_shape=(2, 8, 8, 3), text_length=5,
+                                action_dim=3)
+    text, images, actions = next(it)
+    assert text.shape == (4, 5) and text.dtype == np.int32
+    assert images.shape == (4, 2, 8, 8, 3)
+    assert actions.shape == (4, 3)
+
+
+def test_ball_query_radius_semantics():
+    pts = jnp.asarray(np.array([[0, 0, 0], [0.1, 0, 0], [5, 0, 0],
+                                [0.2, 0, 0]], np.float32))
+    centroids = pts[:1]
+    idx = np.asarray(ball_query(pts, centroids, k=3, radius=1.0))
+    # the far point (index 2) must not appear; short balls pad w/ nearest
+    assert 2 not in idx[0]
+    assert set(idx[0]).issubset({0, 1, 3})
+
+
+def test_map_pooled_continuous_head():
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        ContinuousHeadConfig)
+    from multi_modal_transformers_tokenmerge_tpu.heads.continuous import (
+        ContinuousActionHead)
+    cfg = ContinuousHeadConfig(max_action=1.0, action_space_dim=4,
+                               pooling="map", map_num_heads=2)
+    head = ContinuousActionHead(cfg)
+    readouts = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16))
+    v = head.init(jax.random.PRNGKey(1), readouts)
+    out = head.apply(v, readouts)
+    assert out.shape == (2, 1, 4)
+    assert np.abs(np.asarray(out)).max() <= 1.0
+
+
+def test_distributed_helpers_single_process():
+    assert not is_multihost()
+    info = process_info()
+    assert info["process_count"] == 1
+    assert info["global_device_count"] == 8
+
+
+def test_metric_logger_jsonl(tmp_path):
+    path = tmp_path / "log.jsonl"
+    logger = MetricLogger(jsonl_path=str(path))
+    logger.log({"loss": 1.5}, step=3)
+    logger.log({"loss": 1.2}, step=4)
+    logger.close()
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
+    assert lines[1]["step"] == 4
