@@ -133,6 +133,10 @@ class TransformerConfig(_Replaceable):
     mlp_activation: str = "relu"
     dropout_rate: float = 0.1
     layer_norm_epsilon: float = 1e-6
+    # 'features' is standard transformer LN.  'sequence_compat' reproduces
+    # the reference's committed (nonstandard) LayerNorm over the sequence
+    # axis (vanilla_decoder.yaml:10 reduction_axes: [1]) for fidelity runs.
+    layer_norm_reduction: str = "features"
     # ToMe token merging: tokens merged per compressible set per layer come
     # from the sequence compression string; this picks merge vs prune.
     compression_mode: str = "none"  # 'none' | 'merge' | 'prune'

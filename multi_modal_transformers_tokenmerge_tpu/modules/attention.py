@@ -142,7 +142,9 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic):
         c = self.cfg
+        ln_axes = (1,) if c.layer_norm_reduction == "sequence_compat" else -1
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_epsilon,
+                                       reduction_axes=ln_axes,
                                        dtype=self.dtype,
                                        param_dtype=self.param_dtype,
                                        name=name)

@@ -67,11 +67,15 @@ def position_interval_bounds(
     edges = np.arange(0, image_dim + p, p, dtype=np.float64)
     q = np.floor(edges / image_dim * (position_interval - 1)).astype(np.int32)
     start, stop = q[:-1], q[1:]
-    # raster order: row index varies slowly, col quickly
-    row_start = np.repeat(start, n)
-    row_stop = np.repeat(stop, n)
-    col_start = np.tile(start, n)
-    col_stop = np.tile(stop, n)
+    # NOTE: the reference's einops repeats put its "row" stream on the
+    # fast-varying raster axis and "col" on the slow one
+    # (image_tokenizer.py:91-92) — geometrically swapped, but harmless since
+    # both position embeddings are learned and summed.  We match the
+    # reference exactly so token streams agree bit-for-bit.
+    row_start = np.tile(start, n)
+    row_stop = np.tile(stop, n)
+    col_start = np.repeat(start, n)
+    col_stop = np.repeat(stop, n)
     return row_start, row_stop, col_start, col_stop
 
 

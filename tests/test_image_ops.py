@@ -53,8 +53,10 @@ def test_eval_position_tokens_match_reference_formula():
     idx_vals = np.arange(0, h + p, p)
     q = np.floor(idx_vals / h * (interval - 1)).astype(np.int32)
     starts, stops = q[:-1], q[1:]
-    expected_rows = np.repeat((starts + stops) // 2, n)
-    expected_cols = np.tile((starts + stops) // 2, n)
+    # reference orientation: its "row" stream varies fastest
+    # (image_tokenizer.py:91-92); matched exactly for fidelity
+    expected_rows = np.tile((starts + stops) // 2, n)
+    expected_cols = np.repeat((starts + stops) // 2, n)
     np.testing.assert_array_equal(rows, expected_rows)
     np.testing.assert_array_equal(cols, expected_cols)
 

@@ -1,0 +1,94 @@
+"""Native T5 encoder vs HuggingFace FlaxT5EncoderModel (built from a local
+T5Config — no hub access needed): identical parameters must give identical
+outputs.  This validates the text tower the reference gets from HF
+(reference: tokenizers/text/t5_base.py:8-15) is reproduced exactly by our
+native stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+
+from multi_modal_transformers_tokenmerge_tpu.modules.t5 import T5EncoderStack
+
+V, D, DKV, DFF, L, H, BUCKETS, MAXDIST = 64, 32, 8, 64, 2, 4, 8, 16
+
+
+def _hf_model():
+    cfg = transformers.T5Config(
+        vocab_size=V, d_model=D, d_kv=DKV, d_ff=DFF, num_layers=L,
+        num_heads=H, relative_attention_num_buckets=BUCKETS,
+        relative_attention_max_distance=MAXDIST, dropout_rate=0.0)
+    return transformers.FlaxT5EncoderModel(cfg, seed=0)
+
+
+def _map_params(hf):
+    """HF FlaxT5 param tree -> our T5EncoderStack param tree."""
+    enc = hf["encoder"]
+
+    def stack(fn):
+        return jnp.stack([fn(enc["block"][str(i)]["layer"])
+                          for i in range(L)])
+
+    blocks = {
+        "attn_norm": {"scale": stack(
+            lambda l: l["0"]["layer_norm"]["weight"])},
+        "attn": {
+            "q": {"kernel": stack(
+                lambda l: l["0"]["SelfAttention"]["q"]["kernel"].reshape(
+                    D, H, DKV))},
+            "k": {"kernel": stack(
+                lambda l: l["0"]["SelfAttention"]["k"]["kernel"].reshape(
+                    D, H, DKV))},
+            "v": {"kernel": stack(
+                lambda l: l["0"]["SelfAttention"]["v"]["kernel"].reshape(
+                    D, H, DKV))},
+            "o": {"kernel": stack(
+                lambda l: l["0"]["SelfAttention"]["o"]["kernel"].reshape(
+                    H, DKV, D))},
+        },
+        "mlp_norm": {"scale": stack(
+            lambda l: l["1"]["layer_norm"]["weight"])},
+        "wi": {"kernel": stack(
+            lambda l: l["1"]["DenseReluDense"]["wi"]["kernel"])},
+        "wo": {"kernel": stack(
+            lambda l: l["1"]["DenseReluDense"]["wo"]["kernel"])},
+    }
+    return {
+        "token_embedding": {"embedding": hf["shared"]["embedding"]},
+        "relative_attention_bias": {"embedding": (
+            enc["block"]["0"]["layer"]["0"]["SelfAttention"]
+            ["relative_attention_bias"]["embedding"])},
+        "blocks": blocks,
+        "final_norm": {"scale": enc["final_layer_norm"]["weight"]},
+    }
+
+
+def test_native_t5_matches_hf():
+    hf = _hf_model()
+    ids = (jnp.arange(10)[None] * 7) % V
+
+    expected = np.asarray(hf(np.asarray(ids)).last_hidden_state)
+
+    ours = T5EncoderStack(vocab_size=V, d_model=D, num_layers=L, num_heads=H,
+                          d_kv=DKV, d_ff=DFF, rel_pos_buckets=BUCKETS,
+                          rel_pos_max_distance=MAXDIST)
+    params = _map_params(hf.params)
+    out = np.asarray(ours.apply({"params": params}, ids))
+
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_native_t5_batch_invariance():
+    ours = T5EncoderStack(vocab_size=V, d_model=D, num_layers=L, num_heads=H,
+                          d_kv=DKV, d_ff=DFF, rel_pos_buckets=BUCKETS,
+                          rel_pos_max_distance=MAXDIST)
+    ids = (jnp.arange(8)[None] * 3) % V
+    v = ours.init(jax.random.PRNGKey(0), ids)
+    single = ours.apply(v, ids)
+    batched = ours.apply(v, jnp.concatenate([ids, ids], axis=0))
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single[0]),
+                               rtol=1e-5, atol=1e-6)
