@@ -1,0 +1,105 @@
+"""Micro-batching policy server.
+
+Production serving runs many robot sessions against one chip; this server
+coalesces concurrent obs->action requests into fixed-size device batches
+(padding the tail), runs the AOT-compiled engine, and scatters results back
+to callers.  Host-side only — no model changes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .policy import PolicyEngine
+
+__all__ = ["PolicyServer"]
+
+
+class PolicyServer:
+    """Thread-based request batcher around a PolicyEngine.
+
+    The engine must be built (and optionally compiled) for ``batch_size``;
+    requests are single observations; the server pads partial batches.
+    """
+
+    def __init__(self, engine: PolicyEngine, max_wait_ms: float = 2.0):
+        self.engine = engine
+        self.batch_size = engine.batch_size
+        self.max_wait = max_wait_ms / 1e3
+        self._requests: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "PolicyServer":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client API --------------------------------------------------------
+
+    def predict(self, images: np.ndarray, timeout: float = 30.0):
+        """Blocking single-observation obs->action.  ``images`` has NO batch
+        dim; returns the action for this observation."""
+        done = threading.Event()
+        slot = {}
+        self._requests.put((images, slot, done))
+        if not done.wait(timeout):
+            raise TimeoutError("policy server did not respond")
+        if "error" in slot:
+            raise slot["error"]
+        return slot["action"]
+
+    # -- batching loop -----------------------------------------------------
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._requests.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = self.max_wait
+            import time
+            t0 = time.perf_counter()
+            while (len(batch) < self.batch_size
+                   and (time.perf_counter() - t0) < deadline):
+                try:
+                    batch.append(self._requests.get(timeout=0.0005))
+                except queue.Empty:
+                    pass
+            self._run(batch)
+
+    def _run(self, batch):
+        try:
+            n = len(batch)
+            images = np.stack([b[0] for b in batch])
+            if n < self.batch_size:  # pad the tail
+                pad = np.repeat(images[-1:], self.batch_size - n, axis=0)
+                images = np.concatenate([images, pad])
+            actions = np.asarray(self.engine(jnp.asarray(images)))
+            for i, (_, slot, done) in enumerate(batch):
+                slot["action"] = actions[i]
+                done.set()
+        except Exception as e:  # propagate to all waiters
+            for _, slot, done in batch:
+                slot["error"] = e
+                done.set()

@@ -1,0 +1,60 @@
+"""Optimizer construction: schedules, clipping, weight-decay masking.
+
+The reference passes a bare optax optimizer in (octo.py:341 ``optimizer``
+arg) with no schedule/clip/decay policy.  Production VLA training needs
+warmup + cosine decay, global-norm clipping, and no weight decay on
+norms/biases/embeddings — assembled here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+
+__all__ = ["warmup_cosine_schedule", "make_optimizer", "decay_mask"]
+
+
+def warmup_cosine_schedule(peak_lr: float, warmup_steps: int,
+                           total_steps: int,
+                           end_lr_ratio: float = 0.1) -> optax.Schedule:
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=peak_lr * end_lr_ratio,
+    )
+
+
+def decay_mask(params):
+    """True where weight decay applies: 2D+ kernels only (no biases, norm
+    scales, position embeddings, or token embeddings)."""
+    def keep(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return leaf.ndim >= 2 and name not in ("embedding", "pos_embedding")
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def make_optimizer(peak_lr: float = 3e-4,
+                   warmup_steps: int = 1000,
+                   total_steps: int = 100_000,
+                   weight_decay: float = 1e-4,
+                   clip_norm: Optional[float] = 1.0,
+                   b1: float = 0.9, b2: float = 0.999,
+                   params=None) -> optax.GradientTransformation:
+    """AdamW with warmup-cosine LR, global-norm clipping, and masked decay.
+
+    Pass ``params`` to enable the decay mask (otherwise decay applies to
+    all leaves, matching plain adamw).
+    """
+    schedule = warmup_cosine_schedule(peak_lr, warmup_steps, total_steps)
+    chain = []
+    if clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    mask = decay_mask(params) if params is not None else None
+    chain.append(optax.adamw(schedule, b1=b1, b2=b2,
+                             weight_decay=weight_decay, mask=mask))
+    return optax.chain(*chain)

@@ -1,0 +1,92 @@
+"""Optimizer toolkit and micro-batching policy server tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+from multi_modal_transformers_tokenmerge_tpu.serve.policy import PolicyEngine
+from multi_modal_transformers_tokenmerge_tpu.serve.server import PolicyServer
+from multi_modal_transformers_tokenmerge_tpu.train.optim import (
+    decay_mask,
+    make_optimizer,
+    warmup_cosine_schedule,
+)
+
+from micro_configs import octo_micro
+
+
+def test_warmup_cosine_shape():
+    sched = warmup_cosine_schedule(1e-3, warmup_steps=10, total_steps=100)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert float(sched(100)) < float(sched(50)) < float(sched(10))
+    assert float(sched(100)) >= 1e-4 - 1e-9  # end_lr_ratio floor
+
+
+def test_decay_mask_excludes_norms_and_embeddings():
+    params = {
+        "dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros((4,))},
+        "ln": {"scale": jnp.zeros((4,))},
+        "embed": {"embedding": jnp.zeros((10, 4))},
+        "pos": {"pos_embedding": jnp.zeros((1, 5, 4))},
+    }
+    mask = decay_mask(params)
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False
+    assert mask["ln"]["scale"] is False
+    assert mask["embed"]["embedding"] is False
+    assert mask["pos"]["pos_embedding"] is False
+
+
+def test_make_optimizer_steps():
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = make_optimizer(peak_lr=1e-2, warmup_steps=2, total_steps=10,
+                        clip_norm=1.0, params=params)
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4)) * 100, "b": jnp.ones((4,))}
+    updates, state = tx.update(grads, state, params)
+    # clipped + warmup step 0 -> zero lr -> zero update
+    assert float(jnp.abs(updates["w"]).max()) == 0.0
+    updates, state = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["w"]).max()) > 0.0
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = octo_micro()
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((4, 4), dtype=jnp.int32)
+    images = jnp.ones((4, 64, 64, 3))
+    v = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]}, text, images)
+    eng = PolicyEngine(model, v, head="continuous", batch_size=4)
+    eng.set_instruction(text)
+    return eng
+
+
+def test_policy_server_single_and_burst(engine):
+    import threading
+    with PolicyServer(engine, max_wait_ms=1.0) as server:
+        img = np.ones((64, 64, 3), np.float32)
+        a = server.predict(img)
+        assert a.shape == (1, 4)
+
+        # burst of concurrent requests coalesces into batches
+        results = [None] * 6
+        def call(i):
+            results[i] = server.predict(img * (i + 1) % 255)
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        [t.start() for t in threads]
+        [t.join(timeout=30) for t in threads]
+        assert all(r is not None and np.isfinite(r).all() for r in results)
+
+
+def test_policy_server_propagates_errors(engine):
+    with PolicyServer(engine, max_wait_ms=1.0) as server:
+        with pytest.raises(Exception):
+            server.predict(np.ones((3, 3), np.float32))  # bad image shape
