@@ -1,0 +1,81 @@
+"""Serve an OCTO policy: AOT compile, cache the instruction, run a
+micro-batched request loop.
+
+Usage:
+    python examples/serve_octo.py [--preset octo_tiny] [--head continuous]
+        [--batch 4] [--requests 16]
+"""
+
+import argparse
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_transformers_tokenmerge_tpu import Octo, get_preset
+from multi_modal_transformers_tokenmerge_tpu.modules.text import WordTokenizer
+from multi_modal_transformers_tokenmerge_tpu.serve.policy import PolicyEngine
+from multi_modal_transformers_tokenmerge_tpu.serve.server import PolicyServer
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="octo_tiny")
+    p.add_argument("--head", default="continuous")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--requests", type=int, default=16)
+    args = p.parse_args()
+
+    cfg = get_preset(args.preset)
+    model = Octo(cfg)
+    frames = cfg.num_observation_blocks
+    image_shape = ((frames, *cfg.images.image_size) if frames > 1
+                   else cfg.images.image_size)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text_shape = (cfg.text.max_length,)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        jnp.ones((args.batch, *text_shape), jnp.int32),
+        jnp.zeros((args.batch, *image_shape)))
+
+    engine = PolicyEngine(model, variables, head=args.head,
+                          batch_size=args.batch)
+    t0 = time.time()
+    engine.compile(text_shape, image_shape)
+    print(f"AOT compile: {time.time() - t0:.1f}s")
+
+    tok = WordTokenizer.from_corpus(
+        ["pick up the red block and place it on the green block"],
+        max_length=cfg.text.max_length)
+    instruction = np.repeat(tok(["pick up the red block"]), args.batch, 0)
+    engine.set_instruction(jnp.asarray(instruction))
+    print("instruction cached (text tower will not run again)")
+
+    rng = np.random.default_rng(0)
+    with PolicyServer(engine, max_wait_ms=2.0) as server:
+        results = [None] * args.requests
+
+        def call(i):
+            obs = rng.uniform(0, 255, image_shape).astype(np.float32)
+            t = time.perf_counter()
+            results[i] = (server.predict(obs), time.perf_counter() - t)
+
+        t0 = time.time()
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(args.requests)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        wall = time.time() - t0
+
+    lats = sorted(r[1] for r in results)
+    print(f"{args.requests} requests in {wall * 1e3:.0f}ms "
+          f"(p50 latency {lats[len(lats) // 2] * 1e3:.1f}ms); "
+          f"sample action: {np.asarray(results[0][0]).ravel()[:4].round(3)}")
+
+
+if __name__ == "__main__":
+    main()

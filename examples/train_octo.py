@@ -1,0 +1,94 @@
+"""Train an OCTO policy end-to-end (synthetic data).
+
+Usage:
+    python examples/train_octo.py [--preset octo_tiny] [--head continuous]
+        [--steps 200] [--batch 8] [--data-parallel] [--ckpt DIR]
+
+Covers the full training path: config -> model init -> optimizer with
+warmup-cosine + clipping -> prefetched data -> jitted donated train steps
+(optionally data-parallel over all local devices) -> metrics -> orbax
+checkpointing.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_transformers_tokenmerge_tpu import (
+    Octo, create_train_state, fit, get_preset)
+from multi_modal_transformers_tokenmerge_tpu.parallel.mesh import (
+    batch_sharding, make_mesh)
+from multi_modal_transformers_tokenmerge_tpu.train.checkpoint import (
+    CheckpointManager)
+from multi_modal_transformers_tokenmerge_tpu.train.optim import make_optimizer
+from multi_modal_transformers_tokenmerge_tpu.utils.data import (
+    prefetch_to_device, synthetic_octo_batches)
+from multi_modal_transformers_tokenmerge_tpu.utils.logging import MetricLogger
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="octo_tiny")
+    p.add_argument("--head", default="continuous",
+                   choices=["continuous", "categorical", "diffusion"])
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--ckpt", default=None)
+    args = p.parse_args()
+
+    cfg = get_preset(args.preset)
+    model = Octo(cfg)
+    head_cfg = getattr(cfg.heads, args.head)
+    if head_cfg is None:
+        raise SystemExit(f"preset {args.preset} has no {args.head} head")
+
+    img_cfg = cfg.images
+    frames = cfg.num_observation_blocks
+    image_shape = ((frames, *img_cfg.image_size) if frames > 1
+                   else img_cfg.image_size)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    sample_text = jnp.ones((args.batch, cfg.text.max_length), jnp.int32)
+    sample_images = jnp.zeros((args.batch, *image_shape))
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        sample_text, sample_images)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    print(f"{args.preset}: {n_params / 1e6:.1f}M params, head={args.head}")
+
+    tx = make_optimizer(peak_lr=3e-4, warmup_steps=20,
+                        total_steps=args.steps,
+                        params=variables["params"])
+    rngs = {"dropout": keys[2], "patch_encoding": keys[1]}
+    if args.head == "diffusion":
+        rngs["diffusion"] = keys[3]
+    state = create_train_state(model, variables, tx, rngs=rngs)
+
+    mesh = None
+    sharding = None
+    if args.data_parallel:
+        mesh = make_mesh(model=1)
+        sharding = batch_sharding(mesh)
+        print(f"data-parallel over {mesh.shape} devices")
+
+    data = prefetch_to_device(
+        synthetic_octo_batches(
+            args.batch, image_shape=image_shape,
+            text_length=cfg.text.max_length,
+            action_dim=head_cfg.action_space_dim,
+            vocab_size=cfg.text.vocab_size),
+        size=2, sharding=sharding)
+
+    ckpt = CheckpointManager(args.ckpt) if args.ckpt else None
+    logger = MetricLogger()
+    state = fit(state, data, head=args.head, num_steps=args.steps,
+                mesh=mesh, logger=logger, log_every=25,
+                checkpointer=ckpt, checkpoint_every=100)
+    print("final:", jax.device_get(state.metrics.compute()))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,33 +61,34 @@ def _spec_for_param(path: str, shape, model_parallel: bool,
 
     Megatron-style: qkv projections split by head, attention-out and
     mlp dense_out contract over the sharded dim, mlp dense_in splits the
-    hidden dim, embeddings split the vocab/feature dim.
+    hidden dim.  Axes are indexed from the END of the shape so the rules
+    apply equally to plain kernels and nn.scan-stacked kernels with a
+    leading layer dimension (e.g. (E,H,D) and (L,E,H,D)).
     """
     ndim = len(shape)
     spec = [None] * ndim
 
+    def _try(axis_from_end):
+        axis = ndim - axis_from_end
+        if 0 <= axis < ndim and shape[axis] % model_size == 0:
+            spec[axis] = MODEL_AXIS
+
     if model_parallel and model_size > 1:
-        if "attention" in path and ndim == 3 and (
-                "query" in path or "key" in path or "value" in path):
-            # (E, H, D): shard heads
-            if shape[1] % model_size == 0:
-                spec[1] = MODEL_AXIS
-        elif "attention" in path and "out/kernel" in path and ndim == 3:
-            # (H, D, E): contract over sharded heads
-            if shape[0] % model_size == 0:
-                spec[0] = MODEL_AXIS
-        elif "mlp" in path and "dense_in/kernel" in path and ndim == 2:
-            if shape[1] % model_size == 0:
-                spec[1] = MODEL_AXIS
-        elif "mlp" in path and "dense_out/kernel" in path and ndim == 2:
-            if shape[0] % model_size == 0:
-                spec[0] = MODEL_AXIS
-        elif "wi/kernel" in path and ndim == 2:  # t5 ff
-            if shape[1] % model_size == 0:
-                spec[1] = MODEL_AXIS
-        elif "wo/kernel" in path and ndim == 2:
-            if shape[0] % model_size == 0:
-                spec[0] = MODEL_AXIS
+        leaf = path.rsplit("/", 2)[-2:]  # [module, param] tail
+        tail = "/".join(leaf)
+        if tail in ("query/kernel", "key/kernel", "value/kernel",
+                    "q/kernel", "k/kernel", "v/kernel"):
+            # (..., E, H, D): shard heads
+            _try(2)
+        elif tail in ("out/kernel", "o/kernel") and ndim >= 3:
+            # (..., H, D, E): contract over sharded heads
+            _try(3)
+        elif tail in ("dense_in/kernel", "wi/kernel"):
+            # (..., E, F): split the hidden dim
+            _try(1)
+        elif tail in ("dense_out/kernel", "wo/kernel"):
+            # (..., F, E): contract over the sharded hidden dim
+            _try(2)
 
     if fsdp and data_size > 1 and all(s is None for s in spec):
         # shard the largest divisible axis of big replicated params over data

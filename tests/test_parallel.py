@@ -84,11 +84,13 @@ def test_tensor_parallel_forward_matches_replicated():
 
     mesh = make_mesh(data=4, model=2)
     shardings = param_shardings(state.params, mesh, model_parallel=True)
-    specs = jax.tree.map(lambda s: s.spec, shardings)
-    # at least the attention qkv kernels must actually be sharded
-    sharded_specs = [s for s in jax.tree.leaves(
-        specs, is_leaf=lambda x: isinstance(x, P)) if any(a for a in s)]
-    assert sharded_specs, "no parameter was tensor-parallel sharded"
+    # the scanned encoder-block attention kernels must be head-sharded
+    blk = shardings["transformer"]["blocks"]["attention"]
+    assert blk["query"]["kernel"].spec == P(None, None, "model", None)
+    assert blk["out"]["kernel"].spec == P(None, "model", None, None)
+    mlp = shardings["transformer"]["blocks"]["mlp"]
+    assert mlp["dense_in"]["kernel"].spec == P(None, None, "model")
+    assert mlp["dense_out"]["kernel"].spec == P(None, "model", None)
 
     params_tp = jax.tree.map(jax.device_put, state.params, shardings)
     bs = batch_sharding(mesh)
