@@ -137,6 +137,12 @@ class TransformerConfig(_Replaceable):
     # the reference's committed (nonstandard) LayerNorm over the sequence
     # axis (vanilla_decoder.yaml:10 reduction_axes: [1]) for fidelity runs.
     layer_norm_reduction: str = "features"
+    # attention implementation: 'auto' picks the Pallas flash kernel on TPU
+    # for sequences >= flash_min_seq (deterministic path), otherwise XLA.
+    attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
+    flash_min_seq: int = 256
+    flash_block_q: int = 128
+    flash_block_k: int = 128
     # ToMe token merging: tokens merged per compressible set per layer come
     # from the sequence compression string; this picks merge vs prune.
     compression_mode: str = "none"  # 'none' | 'merge' | 'prune'

@@ -38,6 +38,26 @@ from ..sequence.layout import SequenceLayout
 __all__ = ["Octo", "TokenEmbeddings"]
 
 
+def _select_attention_fn(tcfg, layout):
+    """Pick the Pallas flash-attention kernel when it pays: TPU backend,
+    deterministic-capable config, sequence long enough that avoiding the
+    materialized (B,H,S,S) weights matters."""
+    if tcfg.attention_impl == "xla":
+        return None
+    if tcfg.attention_impl == "auto":
+        if (layout.total_tokens < tcfg.flash_min_seq
+                or jax.default_backend() != "tpu"):
+            return None
+        if tcfg.attention.dropout_rate > 0.0:
+            # flash path is deterministic-only; keep XLA for training
+            # configs that use attention-weight dropout
+            return None
+    from ..ops.flash_attention import make_attention_fn
+    return make_attention_fn(layout.attention_mask(),
+                             block_q=tcfg.flash_block_q,
+                             block_k=tcfg.flash_block_k)
+
+
 @flax.struct.dataclass
 class TokenEmbeddings:
     """Per-modality embedding streams
@@ -77,6 +97,8 @@ class Octo(nn.Module):
         else:
             self.transformer = TransformerStack(
                 cfg.transformer, dtype=dtype, param_dtype=param_dtype,
+                attention_fn=_select_attention_fn(cfg.transformer,
+                                                  self.layout),
                 name="transformer")
         self._use_compression = use_compression
 

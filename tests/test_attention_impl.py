@@ -1,0 +1,50 @@
+"""Attention implementation selection + in-model flash equivalence
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_transformers_tokenmerge_tpu.models.octo import (
+    _select_attention_fn,
+)
+from multi_modal_transformers_tokenmerge_tpu.core.config import (
+    TransformerConfig,
+)
+from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
+    SequenceLayout,
+)
+
+SHORT = SequenceLayout.from_strings(
+    "[TaskDescriptionPrefix{16}] [Image{25};Readout{4}]*2")  # 74 tokens
+LONG = SequenceLayout.from_strings(
+    "[TaskDescriptionPrefix{16}] "
+    "[Image{25};Image{25};Image{25};Image{25};Readout{4}]*3")  # 328 tokens
+
+
+def test_auto_selects_xla_on_cpu():
+    cfg = TransformerConfig(attention_impl="auto")
+    assert _select_attention_fn(cfg, LONG) is None  # cpu backend in tests
+
+
+def test_auto_respects_min_seq():
+    cfg = TransformerConfig(attention_impl="auto", flash_min_seq=256)
+    assert _select_attention_fn(cfg, SHORT) is None
+
+
+def test_explicit_xla():
+    assert _select_attention_fn(
+        TransformerConfig(attention_impl="xla"), LONG) is None
+
+
+def test_explicit_flash_returns_fn():
+    fn = _select_attention_fn(
+        TransformerConfig(attention_impl="flash"), SHORT)
+    assert fn is not None
+    # runs in interpret mode via flash_attention's interpret path
+    from multi_modal_transformers_tokenmerge_tpu.ops.flash_attention import (
+        flash_attention)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 74, 2, 16))
+    out = flash_attention(q, q, q, SHORT.attention_mask(), interpret=True)
+    assert out.shape == q.shape
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
