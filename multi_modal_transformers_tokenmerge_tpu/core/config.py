@@ -146,6 +146,11 @@ class TransformerConfig(_Replaceable):
     # ToMe token merging: tokens merged per compressible set per layer come
     # from the sequence compression string; this picks merge vs prune.
     compression_mode: str = "none"  # 'none' | 'merge' | 'prune'
+    # merge cadence: 1 = inside every block (reference intent); k > 1 groups
+    # k equal-shape blocks into one nn.scan between merge events — L/k
+    # compilation units instead of L, with the compression string's rate
+    # applied per EVENT (hidden-state cosine metric at event boundaries)
+    tome_merge_every: int = 1
     # use size-weighted (proportional) attention for merged tokens
     proportional_attention: bool = False
     remat: bool = False

@@ -172,8 +172,10 @@ class Octo(nn.Module):
 
         if self._use_compression:
             embeddings = self.transformer(embeddings, deterministic=not train)
-            readout_idx = self.layout.modality_index(
-                "readouts", layer=cfg.transformer.num_blocks)
+            t = cfg.transformer
+            final = (t.num_blocks if t.tome_merge_every <= 1
+                     else -(-t.num_blocks // t.tome_merge_every) - 1)
+            readout_idx = self.layout.modality_index("readouts", layer=final)
         else:
             mask = jnp.asarray(self.layout.attention_mask())
             embeddings = self.transformer(embeddings, mask=mask,

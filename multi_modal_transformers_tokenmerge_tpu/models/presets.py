@@ -126,9 +126,9 @@ def octo_base_deep(**overrides) -> OctoConfig:
     base = octo_base()
     cfg = base.replace(
         compression_sequence=(
-            "[TaskDescriptionPrefix{0}] [Image{1};Readout{0}]*2"),
+            "[TaskDescriptionPrefix{0}] [Image{4};Readout{0}]*2"),
         transformer=base.transformer.replace(
-            num_blocks=12, compression_mode="merge"),
+            num_blocks=12, compression_mode="merge", tome_merge_every=4),
     )
     return cfg.replace(**overrides)
 

@@ -162,7 +162,19 @@ class CompressedEncoderBlock(nn.Module):
 
 
 class CompressedTransformerStack(nn.Module):
-    """Python-unrolled stack (per-layer shapes differ, so no scan)."""
+    """Compressed stack with configurable merge cadence.
+
+    ``tome_merge_every == 1``: compression inside every block (per-layer
+    shrinking shapes — Python-unrolled, one compilation unit per layer).
+
+    ``tome_merge_every == k > 1``: blocks between merge events share shapes,
+    so each group of k blocks runs as ONE nn.scan (L/k compilation units —
+    the remote-compile cost of deep stacks drops k-fold) with a standalone
+    per-set ToMe merge (hidden-state cosine metric) between groups.  The
+    compression string's per-layer rate is applied per EVENT, so a 12-block
+    stack with ``Image{1}`` and k=4 sheds 1 image token per set at each of
+    the 3 event boundaries.
+    """
 
     cfg: TransformerConfig
     layout: SequenceLayout
@@ -173,9 +185,43 @@ class CompressedTransformerStack(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = AddPositionEmbedding(name="posembed_input")(x)
         size = jnp.ones_like(x[..., :1])
-        for layer in range(self.cfg.num_blocks):
-            x, size = CompressedEncoderBlock(
-                self.cfg, self.layout, layer, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"block_{layer}")(
-                    x, size, deterministic)
+        k = self.cfg.tome_merge_every
+        if k <= 1:
+            for layer in range(self.cfg.num_blocks):
+                x, size = CompressedEncoderBlock(
+                    self.cfg, self.layout, layer, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"block_{layer}")(
+                        x, size, deterministic)
+            return x
+
+        if self.cfg.compression_mode != "merge":
+            raise ValueError("tome_merge_every > 1 requires "
+                             "compression_mode='merge'")
+        from .attention import EncoderBlock
+
+        num_stages = -(-self.cfg.num_blocks // k)
+        layer = 0
+        for stage in range(num_stages):
+            blocks_here = min(k, self.cfg.num_blocks - layer)
+            mask = jnp.asarray(self.layout.attention_mask(stage))
+            stack = nn.scan(
+                EncoderBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=blocks_here,
+            )(self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+              name=f"stage_{stage}")
+            x, _ = stack(x, mask, deterministic)
+            layer += blocks_here
+            if stage < num_stages - 1:
+                # standalone merge event: hidden-state cosine metric
+                x, size = _merge_sets(x, size, x, self.layout, stage)
         return x
+
+    def final_layer(self) -> int:
+        """Stage/layer index of the output layout (for readout slicing)."""
+        k = self.cfg.tome_merge_every
+        if k <= 1:
+            return self.cfg.num_blocks
+        return -(-self.cfg.num_blocks // k) - 1

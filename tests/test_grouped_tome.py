@@ -1,0 +1,88 @@
+"""Grouped ToMe stack (tome_merge_every > 1): shapes, grads, and stage
+layout consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.core.config import (
+    AttentionConfig,
+    TransformerConfig,
+)
+from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+from multi_modal_transformers_tokenmerge_tpu.modules.tome_stack import (
+    CompressedTransformerStack,
+)
+from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
+    SequenceLayout,
+)
+
+from micro_configs import octo_micro_tome
+
+
+def _stack_cfg(num_blocks, k):
+    return TransformerConfig(
+        num_blocks=num_blocks,
+        attention=AttentionConfig(num_heads=2, qkv_features=16,
+                                  dropout_rate=0.0),
+        mlp_dim=32, dropout_rate=0.0,
+        compression_mode="merge", tome_merge_every=k)
+
+
+def test_grouped_stack_output_shape():
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{4};Readout{0}]")
+    m = CompressedTransformerStack(_stack_cfg(4, 2), layout=layout)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 22, 16))
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    # 2 stages -> 1 merge event -> image set sheds 4 tokens
+    assert out.shape == (2, 18, 16)
+
+
+def test_grouped_stack_stage_params_are_scanned():
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{4};Readout{0}]")
+    m = CompressedTransformerStack(_stack_cfg(4, 2), layout=layout)
+    x = jnp.zeros((1, 22, 16))
+    v = m.init(jax.random.PRNGKey(0), x)
+    # each stage is ONE scanned module with a leading length-2 param dim
+    q = v["params"]["stage_0"]["attention"]["query"]["kernel"]
+    assert q.shape[0] == 2
+
+
+def test_grouped_requires_merge_mode():
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{4};Readout{0}]")
+    cfg = _stack_cfg(4, 2).replace(compression_mode="prune")
+    m = CompressedTransformerStack(cfg, layout=layout)
+    with pytest.raises(ValueError):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 22, 16)))
+
+
+def test_grouped_model_end_to_end():
+    cfg = octo_micro_tome()
+    cfg = cfg.replace(transformer=cfg.transformer.replace(
+        num_blocks=4, tome_merge_every=2))
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((2, 4), dtype=jnp.int32)
+    images = jnp.ones((2, 2, 64, 64, 3))
+    v = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]}, text, images)
+    act = model.apply(v, text, images, method="predict_continuous_action")
+    assert act.shape == (2, 1, 4)
+
+    def loss(p):
+        return jnp.mean(model.apply(
+            {"params": p}, text, images, jnp.full((2, 4), 0.2),
+            rngs={"dropout": keys[2], "patch_encoding": keys[1]},
+            method="compute_l2_loss"))
+
+    g = jax.grad(loss)(v["params"])
+    assert sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)) > 0
