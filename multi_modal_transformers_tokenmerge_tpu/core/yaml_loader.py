@@ -40,7 +40,6 @@ from .config import (
     HeadsConfig,
     ImageTokenizerConfig,
     OctoConfig,
-    ResNetEmbedderConfig,
     TextEncoderConfig,
     TransformerConfig,
 )

@@ -20,8 +20,6 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ wrapped in a single jit (see train/steps.py and serve/policy.py).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import flax.struct
 import jax

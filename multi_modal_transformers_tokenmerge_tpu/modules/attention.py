@@ -13,7 +13,7 @@ TPU-first counterpart of the reference's attention blocks
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

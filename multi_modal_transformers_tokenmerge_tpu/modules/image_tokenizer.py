@@ -13,12 +13,8 @@ TPU-first design vs the reference (tokenizers/images/image_tokenizer.py):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.config import ImageTokenizerConfig, ResNetEmbedderConfig
 from ..ops.image_ops import (

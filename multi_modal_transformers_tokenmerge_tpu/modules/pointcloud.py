@@ -16,8 +16,6 @@ TPU-first rewrites of the reference
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

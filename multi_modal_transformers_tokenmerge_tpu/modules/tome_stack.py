@@ -28,8 +28,6 @@ Design (TPU-first, all shapes static):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 __all__ = ["ActionTokenizer", "mu_law_encode", "mu_law_decode"]

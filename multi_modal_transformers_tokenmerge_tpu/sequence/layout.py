@@ -34,7 +34,6 @@ from .dsl import (
     KIND_READOUT,
     KIND_TASK,
     KIND_TEXT,
-    MODALITY_OF_KIND,
     TokenSetSpec,
     kind_isinstance,
     parse_sequence,

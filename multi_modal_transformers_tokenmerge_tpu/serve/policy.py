@@ -15,11 +15,10 @@ untraced Python dispatch, re-running the frozen T5 text tower every step
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["PolicyEngine"]
 

@@ -10,9 +10,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

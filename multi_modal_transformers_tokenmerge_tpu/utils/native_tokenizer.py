@@ -12,7 +12,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Iterable, Optional, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 
