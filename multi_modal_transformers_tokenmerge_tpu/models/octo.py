@@ -47,8 +47,9 @@ def _select_attention_fn(tcfg, layout):
                 or jax.default_backend() != "tpu"):
             return None
         if tcfg.attention.dropout_rate > 0.0:
-            # flash path is deterministic-only; keep XLA for training
-            # configs that use attention-weight dropout
+            # the kernel has no attention-weight dropout; keep XLA for
+            # configs that use it (the kernel IS differentiable — custom
+            # VJP with exact XLA-recompute backward)
             return None
     from ..ops.flash_attention import make_attention_fn
     return make_attention_fn(layout.attention_mask(),

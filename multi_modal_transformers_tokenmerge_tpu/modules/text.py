@@ -110,6 +110,13 @@ class WordTokenizer:
             vocab.update(t.lower().split())
         return cls(vocab, max_length=max_length)
 
+    @classmethod
+    def from_vocab_file(cls, path: str, max_length: int = 16):
+        """Newline-separated vocabulary file
+        (reference: text_tokenizer.py:31-35)."""
+        with open(path) as f:
+            return cls(f.read().split("\n"), max_length=max_length)
+
     def encode(self, text: str) -> List[int]:
         ids = [self.word2idx.get(w, self.UNK) for w in text.lower().split()]
         ids = ids[: self.max_length]

@@ -158,12 +158,56 @@ def _register_mask(mask: np.ndarray) -> int:
     return key
 
 
+def _xla_reference_attention(q, k, v, mask_bool):
+    """Plain XLA masked attention — identical math to the kernel; used as
+    the differentiable function for the custom VJP backward."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / math.sqrt(d))
+    logits = jnp.where(mask_bool[None, None], logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(q.dtype), v)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5))
+def _flash_attention_vjp(q, k, v, mask_key, block_q, block_k):
+    padded, k_hi = _mask_tables(mask_key, block_q, block_k)
+    return _flash_attention_impl(
+        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), mask_key=mask_key,
+        block_q=block_q, block_k=block_k, interpret=False)
+
+
+def _flash_vjp_fwd(q, k, v, mask_key, block_q, block_k):
+    out = _flash_attention_vjp(q, k, v, mask_key, block_q, block_k)
+    return out, (q, k, v)
+
+
+def _flash_vjp_bwd(mask_key, block_q, block_k, residuals, g):
+    # remat-style backward: recompute attention with the mathematically
+    # identical XLA implementation and differentiate through it — exact
+    # gradients, no backward kernel required (TODO.md item 1 tracks a
+    # dedicated Pallas backward)
+    q, k, v = residuals
+    mask_bool = jnp.asarray(_MASK_REGISTRY[mask_key])
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference_attention(q_, k_, v_, mask_bool),
+        q, k, v)
+    return vjp(g)
+
+
+_flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
 def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
                     block_k: int = 128, interpret: bool = False):
     """Masked multi-head attention: (B, S, H, D) -> (B, S, H, D).
 
     ``mask`` must be a *static* numpy bool (S, S) array — queries attend to
     keys where True.  Sequences are padded to tile multiples internally.
+    Differentiable: the forward runs the Pallas kernel, the backward
+    recomputes through the math-identical XLA attention (custom VJP).
     """
     if not isinstance(mask, np.ndarray):
         raise TypeError("flash_attention requires a static numpy mask")
@@ -171,10 +215,13 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
     if mask.shape != (s, s):
         raise ValueError(f"mask shape {mask.shape} != ({s}, {s})")
     mask_key = _register_mask(mask)
-    padded, k_hi = _mask_tables(mask_key, block_q, block_k)
-    return _flash_attention_impl(
-        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), mask_key=mask_key,
-        block_q=block_q, block_k=block_k, interpret=interpret)
+    if interpret:
+        padded, k_hi = _mask_tables(mask_key, block_q, block_k)
+        return _flash_attention_impl(
+            q, k, v, jnp.asarray(padded), jnp.asarray(k_hi),
+            mask_key=mask_key, block_q=block_q, block_k=block_k,
+            interpret=True)
+    return _flash_attention_vjp(q, k, v, mask_key, block_q, block_k)
 
 
 def make_attention_fn(mask: np.ndarray, *, block_q: int = 128,

@@ -77,3 +77,25 @@ def test_flash_rejects_traced_mask():
     q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 8, 1, 8)
     with pytest.raises(TypeError):
         flash_attention(q, k, v, jnp.ones((8, 8), dtype=bool))
+
+
+def test_flash_gradients_match_xla(monkeypatch):
+    """Custom-VJP backward (XLA recompute) == direct XLA attention grads.
+    Uses interpret-capable path by running the vjp fns directly."""
+    from multi_modal_transformers_tokenmerge_tpu.ops import flash_attention as fa
+
+    mask = np.tril(np.ones((16, 16), dtype=bool))
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 2, 16, 2, 8)
+    g = jax.random.normal(jax.random.PRNGKey(6), q.shape)
+
+    mask_key = fa._register_mask(mask)
+    grads = fa._flash_vjp_bwd(mask_key, 8, 8, (q, k, v), g)
+
+    def ref(q, k, v):
+        return reference_attention(q, k, v, mask)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    expected = vjp(g)
+    for a, b in zip(grads, expected):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
