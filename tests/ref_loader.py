@@ -49,26 +49,32 @@ def load_ref_image_tokenizer():
     if name in sys.modules:
         return sys.modules[name]
 
-    def _stub(mod_name, **attrs):
-        if mod_name in sys.modules:
-            return sys.modules[mod_name]
-        m = types.ModuleType(mod_name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules[mod_name] = m
-        return m
-
-    if "hydra" not in sys.modules:
-        hydra = _stub("hydra")
-        hydra.utils = _stub("hydra.utils", call=lambda *a, **k: None,
-                            instantiate=lambda *a, **k: None)
-    if "omegaconf" not in sys.modules:
-        _stub("omegaconf", OmegaConf=object, DictConfig=dict)
+    import hydra_shim
+    hydra_shim.install()
 
     spec = importlib.util.spec_from_file_location(
         name,
         f"{REF_ROOT}/multi_modal_transformers/tokenizers/images/"
         "image_tokenizer.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_attention():
+    """Load the reference's attention blocks with the working hydra shim so
+    Encoder1DBlock / MLPBlock actually execute."""
+    _ensure_ref_path()
+    name = "_ref_attention"
+    if name in sys.modules:
+        return sys.modules[name]
+    import hydra_shim
+    hydra_shim.install()
+    spec = importlib.util.spec_from_file_location(
+        name,
+        f"{REF_ROOT}/multi_modal_transformers/attention_blocks/attention.py",
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
