@@ -55,7 +55,7 @@ def octo_small(**overrides) -> OctoConfig:
     cfg = OctoConfig(
         input_sequence="[TaskDescriptionPrefix{16}] [Image{25};Readout{4}]*2",
         compression_sequence=(
-            "[TaskDescriptionPrefix{0}] [Image{2};Readout{0}]*2"),
+            "[TaskDescriptionPrefix{0}] [Image{4};Readout{0}]*2"),
         token_embedding_dim=384,
         num_observation_blocks=2,
         tokens_per_readout=4,
@@ -70,7 +70,7 @@ def octo_small(**overrides) -> OctoConfig:
             num_blocks=6,
             attention=AttentionConfig(num_heads=6, qkv_features=384),
             mlp_dim=1536,
-            compression_mode="merge"),
+            compression_mode="merge", tome_merge_every=2),
         heads=HeadsConfig(continuous=ContinuousHeadConfig(
             max_action=1.0, action_space_dim=8)),
     )
