@@ -133,9 +133,8 @@ def _flash_attention_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
 def _mask_tables(mask_key, block_q: int, block_k: int):
     mask = np.asarray(_MASK_REGISTRY[mask_key])
     s = mask.shape[0]
-    s_pad = max(block_q, block_k) * -(-s // max(block_q, block_k))
-    s_pad = -(-s_pad // block_q) * block_q
-    s_pad = -(-s_pad // block_k) * block_k
+    lcm = np.lcm(block_q, block_k)
+    s_pad = int(lcm * -(-s // lcm))
     padded = np.zeros((s_pad, s_pad), dtype=np.int8)
     padded[:s, :s] = mask.astype(np.int8)
     num_q = s_pad // block_q

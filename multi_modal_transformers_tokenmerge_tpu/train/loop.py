@@ -26,6 +26,7 @@ def fit(state: OctoTrainState,
         mesh=None,
         logger=None,
         log_every: int = 50,
+        reset_metrics_on_log: bool = True,
         checkpointer=None,
         checkpoint_every: int = 1000,
         step_fn: Optional[Callable] = None) -> OctoTrainState:
@@ -33,6 +34,8 @@ def fit(state: OctoTrainState,
 
     ``batches`` yields ``(text_tokens, images, actions)``.  With a mesh,
     batches are placed batch-sharded along the data axis before each step.
+    With ``reset_metrics_on_log`` the logged loss is a windowed average
+    (since the previous log) rather than a lifetime average.
     """
     step = step_fn if step_fn is not None else make_train_step(head)
     sharding = batch_sharding(mesh) if mesh is not None else None
@@ -48,6 +51,9 @@ def fit(state: OctoTrainState,
         if logger is not None and (i + 1) % log_every == 0:
             metrics = jax.device_get(state.metrics.compute())
             logger.log({**metrics, "last_loss": float(loss)}, step=step_no)
+            if reset_metrics_on_log and (i + 1) < num_steps:
+                from .state import Metrics
+                state = state.replace(metrics=Metrics.empty())
         if checkpointer is not None and (i + 1) % checkpoint_every == 0:
             checkpointer.save(step_no, state)
 

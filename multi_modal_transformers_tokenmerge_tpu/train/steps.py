@@ -25,12 +25,13 @@ LOSS_METHODS = {
 }
 
 
-def make_train_step(head: str, mesh=None, donate: bool = True,
+def make_train_step(head: str, donate: bool = True,
                     jit: bool = True) -> Callable:
     """Build ``step(state, text_tokens, images, actions) -> (state, loss)``.
 
-    With a mesh, inputs are expected batch-sharded along the data axis;
-    gradients all-reduce automatically through jit's SPMD partitioner.
+    Sharded training needs no special step: place the state/batch on a mesh
+    (parallel.mesh) and jit's SPMD partitioner inserts the gradient
+    all-reduce automatically.
     """
     try:
         method = LOSS_METHODS[head]
