@@ -129,6 +129,127 @@ def _flash_attention_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
     return out[:, :s, :].reshape(b, s, h, d)
 
 
+@functools.partial(jax.jit, static_argnames=("mask_key", "block_q", "block_k",
+                                             "interpret"))
+def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
+                        block_k, interpret):
+    b, s, h, d = q.shape
+    s_pad = mask_i8.shape[0]
+    num_q_blocks = s_pad // block_q
+    sm_scale = 1.0 / math.sqrt(d)
+
+    def flat(x):
+        return _pad_to(x, s_pad, axis=1).reshape(b, s_pad, h * d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h * d), lambda bi, qi, *_: (bi, qi, 0)),
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, qi, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, qi, *_: (bi, 0, 0)),
+            pl.BlockSpec((block_q, s_pad), lambda bi, qi, *_: (qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, h * d), lambda bi, qi, *_: (bi, qi, 0)),
+            pl.BlockSpec((1, h, block_q), lambda bi, qi, *_: (bi, 0, qi)),
+        ),
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_lse_kernel, block_k=block_k,
+                          sm_scale=sm_scale, num_heads=h, head_dim=d),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, s_pad), jnp.float32)),
+        interpret=interpret,
+    )(k_hi, flat(q), flat(k), flat(v), mask_i8)
+    return out[:, :s].reshape(b, s, h, d), lse
+
+
+@functools.partial(jax.jit, static_argnames=("mask_key", "block_q", "block_k",
+                                             "interpret"))
+def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *,
+                    mask_key, block_q, block_k, interpret):
+    b, s, h, d = q.shape
+    s_pad = mask_i8.shape[0]
+    num_q_blocks = s_pad // block_q
+    num_k_blocks = s_pad // block_k
+    sm_scale = 1.0 / math.sqrt(d)
+
+    def flat(x):
+        return _pad_to(x, s_pad, axis=1).reshape(b, s_pad, h * d)
+
+    qf, kf, vf, dof = flat(q), flat(k), flat(v), flat(do)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h * d), lambda bi, qi, *_: (bi, qi, 0)),
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, qi, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, qi, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, block_q, h * d), lambda bi, qi, *_: (bi, qi, 0)),
+            pl.BlockSpec((1, h, block_q), lambda bi, qi, *_: (bi, 0, qi)),
+            pl.BlockSpec((1, h, block_q), lambda bi, qi, *_: (bi, 0, qi)),
+            pl.BlockSpec((block_q, s_pad), lambda bi, qi, *_: (qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h * d),
+                               lambda bi, qi, *_: (bi, qi, 0)),
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=block_k,
+                          sm_scale=sm_scale, num_heads=h, head_dim=d),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
+        interpret=interpret,
+    )(k_hi, qf, kf, vf, dof, lse, delta, mask_i8)
+
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, ki, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, block_k, h * d), lambda bi, ki, *_: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, h * d), lambda bi, ki, *_: (bi, ki, 0)),
+            pl.BlockSpec((1, s_pad, h * d), lambda bi, ki, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, h, s_pad), lambda bi, ki, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, h, s_pad), lambda bi, ki, *_: (bi, 0, 0)),
+            pl.BlockSpec((s_pad, block_k), lambda bi, ki, *_: (0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, h * d), lambda bi, ki, *_: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, h * d), lambda bi, ki, *_: (bi, ki, 0)),
+        ),
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_q=block_q,
+                          sm_scale=sm_scale, num_q_blocks=num_q_blocks,
+                          num_heads=h, head_dim=d),
+        grid_spec=dkv_spec,
+        out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d), k.dtype),
+                   jax.ShapeDtypeStruct((b, s_pad, h * d), v.dtype)),
+        interpret=interpret,
+    )(q_lo, qf, kf, vf, dof, lse, delta, mask_i8)
+
+    unflat = lambda x: x[:, :s].reshape(b, s, h, d)
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+@functools.lru_cache(maxsize=None)
+def _qlo_table(mask_key, block_q: int, block_k: int):
+    """Per-k-tile lowest q-tile index with any allowed attention."""
+    padded, _ = _mask_tables(mask_key, block_q, block_k)
+    s_pad = padded.shape[0]
+    num_k = s_pad // block_k
+    num_q = s_pad // block_q
+    q_lo = np.zeros((num_k,), dtype=np.int32)
+    for ki in range(num_k):
+        cols = padded[:, ki * block_k:(ki + 1) * block_k]
+        rows = np.nonzero(cols.any(axis=1))[0]
+        q_lo[ki] = num_q if rows.size == 0 else rows.min() // block_q
+    return q_lo
+
+
 @functools.lru_cache(maxsize=None)
 def _mask_tables(mask_key, block_q: int, block_k: int):
     mask = np.asarray(_MASK_REGISTRY[mask_key])
@@ -155,6 +276,135 @@ def _register_mask(mask: np.ndarray) -> int:
     key = hash(mask.tobytes()) ^ hash(mask.shape)
     _MASK_REGISTRY[key] = mask
     return key
+
+
+# ---------------------------------------------------------------------------
+# native backward: forward-with-LSE + dq / dkv kernels
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_lse_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
+                          lse_ref, *, block_k, sm_scale, num_heads, head_dim):
+    """Forward kernel that also emits the per-row logsumexp needed by the
+    native backward (standard flash-attention residual)."""
+    qi = pl.program_id(1)
+    k_hi = k_hi_ref[qi]
+    d = head_dim
+
+    for h in range(num_heads):
+        q = q_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        block_q = q.shape[0]
+        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+        def body(i, carry):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            v = v_ref[0, pl.ds(i * block_k, block_k),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            mask = mask_ref[:, pl.ds(i * block_k, block_k)]
+            s = jnp.where(mask != 0, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m, l, acc = jax.lax.fori_loop(0, k_hi, body, (m0, l0, acc0))
+        l_safe = jnp.maximum(l, 1e-30)
+        o_ref[0, :, h * d:(h + 1) * d] = (acc / l_safe).astype(o_ref.dtype)
+        lse_ref[0, h, :] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _flash_dq_kernel(k_hi_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                     delta_ref, mask_ref, dq_ref, *, block_k, sm_scale,
+                     num_heads, head_dim):
+    qi = pl.program_id(1)
+    k_hi = k_hi_ref[qi]
+    d = head_dim
+
+    for h in range(num_heads):
+        q = q_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        lse = lse_ref[0, h, :][:, None]      # (BQ, 1)
+        delta = delta_ref[0, h, :][:, None]  # (BQ, 1)
+        block_q = q.shape[0]
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+        def body(i, acc):
+            k = k_ref[0, pl.ds(i * block_k, block_k),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            v = v_ref[0, pl.ds(i * block_k, block_k),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            mask = mask_ref[:, pl.ds(i * block_k, block_k)]
+            s = jnp.where(mask != 0, s, _NEG_INF)
+            p = jnp.exp(s - lse)                                   # (BQ, BK)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (BQ, BK)
+            ds = p * (dp - delta)
+            return acc + jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, k_hi, body, acc0)
+        dq_ref[0, :, h * d:(h + 1) * d] = (acc * sm_scale).astype(
+            dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_lo_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, mask_ref, dk_ref, dv_ref, *, block_q,
+                      sm_scale, num_q_blocks, num_heads, head_dim):
+    ki = pl.program_id(1)
+    q_lo = q_lo_ref[ki]
+    d = head_dim
+
+    for h in range(num_heads):
+        k_t = k_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)   # (BK, D)
+        v_t = v_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        block_k = k_t.shape[0]
+        dk0 = jnp.zeros((block_k, d), jnp.float32)
+        dv0 = jnp.zeros((block_k, d), jnp.float32)
+
+        def body(j, carry):
+            dk, dv = carry
+            q = q_ref[0, pl.ds(j * block_q, block_q),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            do = do_ref[0, pl.ds(j * block_q, block_q),
+                        h * d:(h + 1) * d].astype(jnp.float32)
+            lse = lse_ref[0, h, pl.ds(j * block_q, block_q)][:, None]
+            delta = delta_ref[0, h, pl.ds(j * block_q, block_q)][:, None]
+            s = jax.lax.dot_general(
+                q, k_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale     # (BQ, BK)
+            mask = mask_ref[pl.ds(j * block_q, block_q), :]
+            s = jnp.where(mask != 0, s, _NEG_INF)
+            p = jnp.exp(s - lse)
+            dv = dv + jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (BK, D)
+            dp = jax.lax.dot_general(
+                do, v_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (BQ, BK)
+            ds = p * (dp - delta)
+            dk = dk + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk, dv
+
+        dk, dv = jax.lax.fori_loop(q_lo, num_q_blocks, body, (dk0, dv0))
+        dk_ref[0, :, h * d:(h + 1) * d] = (dk * sm_scale).astype(dk_ref.dtype)
+        dv_ref[0, :, h * d:(h + 1) * d] = dv.astype(dv_ref.dtype)
 
 
 def _xla_reference_attention(q, k, v, mask_bool):
@@ -199,14 +449,56 @@ def _flash_vjp_bwd(mask_key, block_q, block_k, residuals, g):
 _flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_vjp_native(q, k, v, mask_key, block_q, block_k,
+                                interpret):
+    padded, k_hi = _mask_tables(mask_key, block_q, block_k)
+    out, _ = _flash_fwd_lse_impl(
+        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), mask_key=mask_key,
+        block_q=block_q, block_k=block_k, interpret=interpret)
+    return out
+
+
+def _flash_native_fwd(q, k, v, mask_key, block_q, block_k, interpret):
+    padded, k_hi = _mask_tables(mask_key, block_q, block_k)
+    out, lse = _flash_fwd_lse_impl(
+        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), mask_key=mask_key,
+        block_q=block_q, block_k=block_k, interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_native_bwd(mask_key, block_q, block_k, interpret, residuals, g):
+    q, k, v, out, lse = residuals
+    b, s, h, d = q.shape
+    padded, k_hi = _mask_tables(mask_key, block_q, block_k)
+    q_lo = _qlo_table(mask_key, block_q, block_k)
+    s_pad = padded.shape[0]
+    # delta_i = rowsum(dO * O), padded to (B, H, S_pad), f32
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.moveaxis(delta, -1, 1)                       # (B, H, S)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, s_pad - s)))
+    return _flash_bwd_impl(
+        q, k, v, g, lse, delta, jnp.asarray(padded), jnp.asarray(k_hi),
+        jnp.asarray(q_lo), mask_key=mask_key, block_q=block_q,
+        block_k=block_k, interpret=interpret)
+
+
+_flash_attention_vjp_native.defvjp(_flash_native_fwd, _flash_native_bwd)
+
+
 def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
-                    block_k: int = 128, interpret: bool = False):
+                    block_k: int = 128, interpret: bool = False,
+                    backward: str = "xla"):
     """Masked multi-head attention: (B, S, H, D) -> (B, S, H, D).
 
     ``mask`` must be a *static* numpy bool (S, S) array — queries attend to
     keys where True.  Sequences are padded to tile multiples internally.
-    Differentiable: the forward runs the Pallas kernel, the backward
-    recomputes through the math-identical XLA attention (custom VJP).
+
+    Differentiable.  ``backward='xla'`` (default) recomputes gradients
+    through the math-identical XLA attention — exact, but materializes
+    (B, H, S, S) weights in the backward.  ``backward='pallas'`` runs the
+    native flash backward kernels (dq and dk/dv passes with the saved
+    logsumexp) — never materializes the weights; preferred at long S.
     """
     if not isinstance(mask, np.ndarray):
         raise TypeError("flash_attention requires a static numpy mask")
@@ -214,6 +506,11 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
     if mask.shape != (s, s):
         raise ValueError(f"mask shape {mask.shape} != ({s}, {s})")
     mask_key = _register_mask(mask)
+    if backward == "pallas":
+        return _flash_attention_vjp_native(q, k, v, mask_key, block_q,
+                                           block_k, interpret)
+    if backward != "xla":
+        raise ValueError(f"unknown backward {backward!r}")
     if interpret:
         padded, k_hi = _mask_tables(mask_key, block_q, block_k)
         return _flash_attention_impl(

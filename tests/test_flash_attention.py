@@ -99,3 +99,35 @@ def test_flash_gradients_match_xla(monkeypatch):
     for a, b in zip(grads, expected):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+@pytest.mark.parametrize("s,bq,bk", [(40, 8, 8), (74, 16, 16)])
+def test_native_backward_matches_xla(s, bq, bk):
+    """Pallas dq/dkv kernels (interpret) vs autodiff through the XLA
+    reference — exact to f32 tolerance, including non-prefix masks."""
+    rng = np.random.default_rng(0)
+    mask = rng.random((s, s)) < 0.5
+    mask[np.arange(s), np.arange(s)] = True
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 2, s, 3, 16)
+    g = jax.random.normal(jax.random.PRNGKey(2), q.shape)
+
+    _, vjp_p = jax.vjp(
+        lambda a, b, c: flash_attention(a, b, c, mask, block_q=bq,
+                                        block_k=bk, interpret=True,
+                                        backward="pallas"), q, k, v)
+    _, vjp_x = jax.vjp(lambda a, b, c: reference_attention(a, b, c, mask),
+                       q, k, v)
+    for got, want in zip(vjp_p(g), vjp_x(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_native_forward_lse_path_matches(s=74):
+    mask = np.tril(np.ones((s, s), dtype=bool))
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, s, 2, 16)
+    a = flash_attention(q, k, v, mask, block_q=16, block_k=16,
+                        interpret=True, backward="pallas")
+    b = flash_attention(q, k, v, mask, block_q=16, block_k=16,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)
