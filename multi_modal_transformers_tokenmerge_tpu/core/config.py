@@ -143,6 +143,10 @@ class TransformerConfig(_Replaceable):
     flash_min_seq: int = 256
     flash_block_q: int = 128
     flash_block_k: int = 128
+    # gradient path for the flash kernel: 'xla' recomputes through XLA
+    # attention; 'pallas' runs the native dq/dkv kernels (no (B,H,S,S)
+    # weights in the backward)
+    flash_backward: str = "xla"
     # ToMe token merging: tokens merged per compressible set per layer come
     # from the sequence compression string; this picks merge vs prune.
     compression_mode: str = "none"  # 'none' | 'merge' | 'prune'

@@ -141,6 +141,53 @@ def _parse_value(text: str) -> Any:
     return yaml.safe_load(text)
 
 
+_INTERP_RE = __import__("re").compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
+
+
+def _resolve_interpolations(tree: Dict[str, Any], max_depth: int = 8):
+    """Resolve ``${a.b.c}`` string values against the composed tree
+    (the reference's configs use OmegaConf interpolation, e.g.
+    ``${dtype}`` / ``${tokenizers.images.encoder.position_interval}`` in
+    gato_resnet.yaml)."""
+
+    def lookup(dotted: str):
+        node = tree
+        for part in dotted.split("."):
+            if not isinstance(node, dict) or part not in node:
+                raise KeyError(
+                    f"interpolation ${{{dotted}}} not found in config")
+            node = node[part]
+        return node
+
+    def walk(node, depth):
+        if depth > max_depth:
+            raise ValueError("interpolation depth exceeded (cycle?)")
+        if isinstance(node, dict):
+            for key, val in node.items():
+                if isinstance(val, str):
+                    m = _INTERP_RE.match(val.strip())
+                    if m:
+                        resolved = lookup(m.group(1))
+                        if (isinstance(resolved, str)
+                                and _INTERP_RE.match(resolved.strip())):
+                            walk({key: resolved}, depth + 1)
+                            resolved = lookup(
+                                _INTERP_RE.match(resolved.strip()).group(1))
+                        node[key] = resolved
+                elif isinstance(val, (dict, list)):
+                    walk(val, depth)
+        elif isinstance(node, list):
+            for i, val in enumerate(node):
+                if isinstance(val, str):
+                    m = _INTERP_RE.match(val.strip())
+                    if m:
+                        node[i] = lookup(m.group(1))
+                elif isinstance(val, (dict, list)):
+                    walk(val, depth)
+
+    walk(tree, 0)
+
+
 def load_config(name: str,
                 overrides: Optional[Sequence[str]] = None,
                 config_dir: Optional[str] = None) -> OctoConfig:
@@ -177,6 +224,8 @@ def load_config(name: str,
     for ov in value_overrides:
         key, _, val = ov.partition("=")
         _apply_override(tree, key.strip(), _parse_value(val.strip()))
+
+    _resolve_interpolations(tree)
 
     # heads group: {continuous: {...}, diffusion: {...}} with nulls allowed
     if isinstance(tree.get("heads"), dict):

@@ -54,7 +54,8 @@ def _select_attention_fn(tcfg, layout):
     from ..ops.flash_attention import make_attention_fn
     return make_attention_fn(layout.attention_mask(),
                              block_q=tcfg.flash_block_q,
-                             block_k=tcfg.flash_block_k)
+                             block_k=tcfg.flash_block_k,
+                             backward=tcfg.flash_backward)
 
 
 @flax.struct.dataclass

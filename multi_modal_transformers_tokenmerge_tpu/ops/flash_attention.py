@@ -521,10 +521,12 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
 
 
 def make_attention_fn(mask: np.ndarray, *, block_q: int = 128,
-                      block_k: int = 128, interpret: bool = False):
+                      block_k: int = 128, interpret: bool = False,
+                      backward: str = "xla"):
     """Adapter producing the ``attention_fn`` hook used by
     modules.attention.MultiHeadAttention."""
     def attention_fn(q, k, v, _mask_ignored=None):
         return flash_attention(q, k, v, mask, block_q=block_q,
-                               block_k=block_k, interpret=interpret)
+                               block_k=block_k, interpret=interpret,
+                               backward=backward)
     return attention_fn

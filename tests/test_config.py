@@ -65,3 +65,35 @@ def test_config_hashable_and_comparable():
     assert a == b and hash(a) == hash(b)
     c = load_config("octo_base", ["transformer.num_blocks=2"])
     assert a != c
+
+
+def test_interpolation(tmp_path):
+    """${a.b} interpolation (reference configs use OmegaConf interpolation,
+    e.g. gato_resnet.yaml ${dtype})."""
+    import os
+    cfg_dir = tmp_path
+    for sub in ("text", "images", "transformer", "heads"):
+        os.makedirs(cfg_dir / sub)
+    (cfg_dir / "root.yaml").write_text(
+        "defaults:\n  text: a\n  heads: h\n"
+        "dtype: bfloat16\ntoken_embedding_dim: 32\n")
+    (cfg_dir / "text" / "a.yaml").write_text(
+        "kind: embed\nvocab_size: 64\n"
+        "embedding_dim: ${token_embedding_dim}\n")
+    (cfg_dir / "heads" / "h.yaml").write_text(
+        "continuous:\n  action_space_dim: 4\n")
+    cfg = load_config("root", config_dir=str(cfg_dir))
+    assert cfg.text.embedding_dim == 32
+    assert cfg.dtype == "bfloat16"
+
+
+def test_interpolation_missing_key(tmp_path):
+    import os
+    for sub in ("heads",):
+        os.makedirs(tmp_path / sub)
+    (tmp_path / "root.yaml").write_text(
+        "defaults:\n  heads: h\ntoken_embedding_dim: ${nope.missing}\n")
+    (tmp_path / "heads" / "h.yaml").write_text(
+        "continuous:\n  action_space_dim: 4\n")
+    with pytest.raises(KeyError):
+        load_config("root", config_dir=str(tmp_path))
