@@ -37,25 +37,9 @@ __all__ = ["Octo", "TokenEmbeddings"]
 
 
 def _select_attention_fn(tcfg, layout):
-    """Pick the Pallas flash-attention kernel when it pays: TPU backend,
-    deterministic-capable config, sequence long enough that avoiding the
-    materialized (B,H,S,S) weights matters."""
-    if tcfg.attention_impl == "xla":
-        return None
-    if tcfg.attention_impl == "auto":
-        if (layout.total_tokens < tcfg.flash_min_seq
-                or jax.default_backend() != "tpu"):
-            return None
-        if tcfg.attention.dropout_rate > 0.0:
-            # the kernel has no attention-weight dropout; keep XLA for
-            # configs that use it (the kernel IS differentiable — custom
-            # VJP with exact XLA-recompute backward)
-            return None
-    from ..ops.flash_attention import make_attention_fn
-    return make_attention_fn(layout.attention_mask(),
-                             block_q=tcfg.flash_block_q,
-                             block_k=tcfg.flash_block_k,
-                             backward=tcfg.flash_backward)
+    from ..modules.attention import select_attention_fn
+    return select_attention_fn(tcfg, layout.attention_mask(),
+                               layout.total_tokens)
 
 
 @flax.struct.dataclass

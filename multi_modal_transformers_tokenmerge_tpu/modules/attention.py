@@ -35,6 +35,26 @@ _kernel_init = nn.initializers.he_normal()
 _bias_init = nn.initializers.normal()
 
 
+def select_attention_fn(cfg: TransformerConfig, mask_np, seq_len: int):
+    """Pick the Pallas flash-attention kernel when it pays: TPU backend,
+    no attention-weight dropout, sequence long enough that avoiding the
+    materialized (B,H,S,S) weights matters.  Returns None for the XLA path.
+    """
+    if cfg.attention_impl == "xla":
+        return None
+    if cfg.attention_impl == "auto":
+        if seq_len < cfg.flash_min_seq or jax.default_backend() != "tpu":
+            return None
+        if cfg.attention.dropout_rate > 0.0:
+            # the kernel has no attention-weight dropout (it IS
+            # differentiable: custom VJP, optionally native backward)
+            return None
+    from ..ops.flash_attention import make_attention_fn
+    return make_attention_fn(mask_np, block_q=cfg.flash_block_q,
+                             block_k=cfg.flash_block_k,
+                             backward=cfg.flash_backward)
+
+
 class MLPBlock(nn.Module):
     """Dense -> activation -> Dropout -> Dense -> Dropout
     (reference: attention_blocks/attention.py:20-39 — its ``norm`` slot is a

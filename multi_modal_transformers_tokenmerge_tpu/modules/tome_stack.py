@@ -195,13 +195,18 @@ class CompressedTransformerStack(nn.Module):
         if self.cfg.compression_mode != "merge":
             raise ValueError("tome_merge_every > 1 requires "
                              "compression_mode='merge'")
-        from .attention import EncoderBlock
+        from .attention import EncoderBlock, select_attention_fn
 
         num_stages = -(-self.cfg.num_blocks // k)
         layer = 0
         for stage in range(num_stages):
             blocks_here = min(k, self.cfg.num_blocks - layer)
-            mask = jnp.asarray(self.layout.attention_mask(stage))
+            mask_np = self.layout.attention_mask(stage)
+            # each stage's mask is a static numpy constant, so the stage can
+            # run the Pallas flash kernel when configured — ToMe merging
+            # between flash-attention blocks, per-stage shrinking layouts
+            attention_fn = select_attention_fn(
+                self.cfg, mask_np, self.layout.tokens_at_layer(stage))
             stack = nn.scan(
                 EncoderBlock,
                 variable_axes={"params": 0},
@@ -209,8 +214,8 @@ class CompressedTransformerStack(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=blocks_here,
             )(self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-              name=f"stage_{stage}")
-            x, _ = stack(x, mask, deterministic)
+              attention_fn=attention_fn, name=f"stage_{stage}")
+            x, _ = stack(x, jnp.asarray(mask_np), deterministic)
             layer += blocks_here
             if stage < num_stages - 1:
                 # standalone merge event: hidden-state cosine metric
