@@ -32,6 +32,10 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 CALLS = int(os.environ.get("BENCH_CALLS", "30"))
 N_INPUTS = 8
+# BENCH_DEEP=1 benchmarks the isolated production-scale encoder stack
+# (224 tokens, 12 blocks, 4x MLP) with/without grouped ToMe instead of the
+# full OCTO-Base model — the regime where token merging pays (BASELINE.md).
+DEEP = os.environ.get("BENCH_DEEP") == "1"
 
 
 def log(*a):
@@ -69,6 +73,54 @@ def measure_latency_p50(fn, args_list, iters=10):
         jax.block_until_ready(fn(*a))
         samples.append(time.perf_counter() - t0)
     return float(np.percentile(samples, 50))
+
+
+def main_deep():
+    """Isolated encoder-stack benchmark: vanilla vs grouped ToMe."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig, TransformerConfig)
+    from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
+        TransformerStack)
+    from multi_modal_transformers_tokenmerge_tpu.modules.tome_stack import (
+        CompressedTransformerStack)
+    from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
+        SequenceLayout)
+
+    layout = SequenceLayout.from_strings(
+        "[TaskDescriptionPrefix{16}] [Image{100};Readout{4}]*2",
+        "[TaskDescriptionPrefix{0}] [Image{32};Readout{0}]*2")
+    s, e = layout.total_tokens, 768
+    base = TransformerConfig(
+        num_blocks=12,
+        attention=AttentionConfig(num_heads=12, qkv_features=768,
+                                  dropout_rate=0.0),
+        mlp_dim=3072, dropout_rate=0.0)
+    xs = [jax.random.normal(jax.random.PRNGKey(i), (BATCH, s, e),
+                            dtype=jnp.bfloat16) for i in range(N_INPUTS)]
+    mask = jnp.asarray(layout.attention_mask())
+
+    vanilla = TransformerStack(base, dtype=jnp.bfloat16)
+    vv = jax.jit(lambda key, x: vanilla.init(key, x, mask=mask))(
+        jax.random.PRNGKey(1), xs[0])
+    tome = CompressedTransformerStack(
+        base.replace(compression_mode="merge", tome_merge_every=4),
+        layout=layout, dtype=jnp.bfloat16)
+    tv = jax.jit(tome.init)(jax.random.PRNGKey(1), xs[0])
+    built = {
+        "vanilla": (jax.jit(lambda v, x: vanilla.apply(v, x, mask=mask)),
+                    [(vv, x) for x in xs]),
+        "tome": (jax.jit(tome.apply), [(tv, x) for x in xs]),
+    }
+    medians = measure_variants(built, rounds=5, calls=10)
+    value = BATCH / medians["tome"]
+    print(json.dumps({
+        "metric": "deep_stack_sequences_per_sec_tome_224tok_12blk",
+        "value": round(value, 2),
+        "unit": "sequences/sec/chip",
+        "vs_baseline": round(medians["vanilla"] / medians["tome"], 3),
+        "detail": {"batch": BATCH, "ms_per_call": {
+            k: round(v * 1e3, 3) for k, v in medians.items()}},
+    }), flush=True)
 
 
 def main():
@@ -147,4 +199,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_deep() if DEEP else main()

@@ -123,3 +123,37 @@ def test_policy_engine_aot_cached(setup):
     b = engine(images, text_tokens=text)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_checkpoint_restore_into_sharded_layout(tmp_path, setup):
+    """Save a replicated state, restore directly into a mesh-sharded layout
+    (the v5e-8 restore path — SURVEY.md §5 checkpoint row)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multi_modal_transformers_tokenmerge_tpu.parallel.mesh import (
+        make_mesh, param_shardings)
+
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.sgd(1e-2),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    mgr = CheckpointManager(str(tmp_path / "ckpt_sharded"))
+    assert mgr.save(0, state)
+    mgr.wait()
+
+    mesh = make_mesh(data=4, model=2)
+    shardings = param_shardings(state.params, mesh, model_parallel=True)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    abstract = abstract.replace(
+        params=jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            abstract.params, shardings))
+    restored = mgr.restore(abstract_state=abstract)
+
+    # values equal AND the tensor-parallel layout was applied on restore
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    q = restored.params["transformer"]["blocks"]["attention"]["query"]["kernel"]
+    assert q.sharding.spec == P(None, None, "model", None)
+    mgr.close()

@@ -124,3 +124,12 @@ def test_metric_logger_jsonl(tmp_path):
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
     assert lines[1]["step"] == 4
+
+
+def test_time_fn_harness():
+    from multi_modal_transformers_tokenmerge_tpu.utils.profiling import time_fn
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x * 2)
+    stats = time_fn(f, jnp.ones((8, 8)), iters=5, warmup=1)
+    assert set(stats) >= {"p50", "p90", "p99", "mean"}
+    assert stats["p50"] > 0 and stats["p99"] >= stats["p50"]
