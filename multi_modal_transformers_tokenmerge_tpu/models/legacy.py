@@ -100,6 +100,17 @@ class _EncoderStackLoop(nn.Module):
         return x
 
 
+def make_concept_learner(version: str, cfg: "ConceptLearnerConfig"):
+    """Version dispatch (reference: concept_learner.py:92-103
+    ConceptLearner.initialize_from_config): 'v1' is the GATO-style
+    multi-observation decoder, 'v2' the single-image variant."""
+    if version == "v1":
+        return GatoConceptLearner(cfg)
+    if version == "v2":
+        return SingleImageConceptLearner(cfg)
+    raise NotImplementedError(f"ConceptLearner version {version!r}")
+
+
 class GatoConceptLearner(nn.Module):
     """Decoder over [text, (image-tokens, action-token) x T] sequences,
     predicting the next action's logits at the episode's frontier."""

@@ -175,3 +175,15 @@ def test_visual_concept_planner_struct():
     vcp = VisualConceptPlanner(planner_state=1, learner_state=2)
     leaves = jax.tree.leaves(vcp)
     assert leaves == [1, 2]
+
+
+def test_make_concept_learner_dispatch():
+    from multi_modal_transformers_tokenmerge_tpu.models.legacy import (
+        make_concept_learner)
+    cfg = _cl_cfg()
+    assert isinstance(make_concept_learner("v1", cfg), GatoConceptLearner)
+    assert isinstance(make_concept_learner("v2", cfg),
+                      SingleImageConceptLearner)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        make_concept_learner("v3", cfg)
