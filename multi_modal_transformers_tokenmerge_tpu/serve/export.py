@@ -1,0 +1,65 @@
+"""Ahead-of-time policy export: serialize the compiled obs->action function
+so serving processes load a precompiled artifact instead of recompiling
+(StableHLO via jax.export; artifacts are platform-specific).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["export_policy", "load_policy"]
+
+_PREDICT_METHODS = {
+    "continuous": "predict_continuous_action",
+    "categorical": "predict_action_logits",
+    "diffusion": "predict_diffusion_action",
+}
+
+
+def export_policy(model, variables, head: str, batch_size: int,
+                  text_shape, image_shape, path: Optional[str] = None
+                  ) -> bytes:
+    """Export the (variables, text, images, key) -> action function.
+
+    Returns the serialized artifact bytes (also written to ``path`` when
+    given).  Variables are call-time inputs, so one artifact serves any
+    checkpoint with the same structure.
+    """
+    method = _PREDICT_METHODS[head]
+
+    def fn(variables, text_tokens, images, key):
+        rngs = {"diffusion": key} if head == "diffusion" else None
+        return model.apply(variables, text_tokens, images, rngs=rngs,
+                           method=method)
+
+    var_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
+    text = jax.ShapeDtypeStruct((batch_size, *text_shape), jnp.int32)
+    images = jax.ShapeDtypeStruct((batch_size, *image_shape), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    exported = jax.export.export(jax.jit(fn))(var_shapes, text, images, key)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_policy(blob_or_path):
+    """Load an exported policy artifact; returns
+    ``fn(variables, text_tokens, images, key) -> action``."""
+    if isinstance(blob_or_path, (str,)):
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    else:
+        blob = blob_or_path
+    exported = jax.export.deserialize(blob)
+
+    def fn(variables, text_tokens, images, key):
+        return exported.call(variables, text_tokens, images, key)
+
+    return fn

@@ -157,3 +157,25 @@ def test_checkpoint_restore_into_sharded_layout(tmp_path, setup):
     q = restored.params["transformer"]["blocks"]["attention"]["query"]["kernel"]
     assert q.sharding.spec == P(None, None, "model", None)
     mgr.close()
+
+
+def test_policy_export_roundtrip(tmp_path, setup):
+    """AOT export -> serialize -> load -> identical actions."""
+    from multi_modal_transformers_tokenmerge_tpu.serve.export import (
+        export_policy, load_policy)
+
+    cfg, model, variables, keys, text, images, actions = setup
+    path = str(tmp_path / "policy.bin")
+    blob = export_policy(model, variables, head="continuous", batch_size=4,
+                         text_shape=(4,), image_shape=(64, 64, 3), path=path)
+    assert len(blob) > 1000
+
+    fn = load_policy(path)
+    key_data = jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32)
+    got = fn(variables, text, images, key_data)
+    want = model.apply(variables, text, images,
+                       method="predict_continuous_action")
+    # exported StableHLO compiles with different fusion choices than the
+    # live jit — identical math, ~1e-6 float noise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
