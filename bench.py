@@ -36,6 +36,9 @@ N_INPUTS = 8
 # (224 tokens, 12 blocks, 4x MLP) with/without grouped ToMe instead of the
 # full OCTO-Base model — the regime where token merging pays (BASELINE.md).
 DEEP = os.environ.get("BENCH_DEEP") == "1"
+# BENCH_MULTICAM=1 benchmarks BASELINE config 4 (base+wrist views, 2-frame
+# history, 124-token sequence) instead of octo_base.
+MULTICAM = os.environ.get("BENCH_MULTICAM") == "1"
 
 
 def log(*a):
@@ -131,13 +134,14 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     text = jnp.ones((BATCH, 16), dtype=jnp.int32)
     rng = np.random.default_rng(0)
+    frames = 4 if MULTICAM else 2  # multicam: base+wrist views x 2 frames
     # a distinct image batch per enqueued call defeats any request caching
     image_batches = [
-        jnp.asarray(rng.integers(0, 256, (BATCH, 2, 280, 280, 3)),
+        jnp.asarray(rng.integers(0, 256, (BATCH, frames, 280, 280, 3)),
                     dtype=jnp.float32)
         for _ in range(max(N_INPUTS, 10))
     ]
-    log(f"[bench] batch={BATCH} device={jax.devices()[0]}")
+    log(f"[bench] batch={BATCH} frames={frames} device={jax.devices()[0]}")
 
     def build(cfg):
         model = Octo(cfg)
@@ -153,11 +157,28 @@ def main():
             variables, text, image_batches[0], keys[3]).compile()
         return variables, compiled
 
-    configs = {
-        "baseline_f32": load_config("octo_base"),
-        "ours_bf16": load_config("octo_base", ["dtype=bfloat16"]),
-        "ours_bf16_tome": load_config("octo_base_tome", ["dtype=bfloat16"]),
-    }
+    if MULTICAM:
+        from multi_modal_transformers_tokenmerge_tpu.models.presets import (
+            octo_multicam)
+        base_mc = octo_multicam()
+        tome_mc = base_mc.replace(
+            compression_sequence=(
+                "[TaskDescriptionPrefix{0}] "
+                "[Image{2};Image{2};Readout{0}]*2"),
+            transformer=base_mc.transformer.replace(
+                compression_mode="merge"))
+        configs = {
+            "baseline_f32": base_mc,
+            "ours_bf16": octo_multicam(dtype="bfloat16"),
+            "ours_bf16_tome": tome_mc.replace(dtype="bfloat16"),
+        }
+    else:
+        configs = {
+            "baseline_f32": load_config("octo_base"),
+            "ours_bf16": load_config("octo_base", ["dtype=bfloat16"]),
+            "ours_bf16_tome": load_config("octo_base_tome",
+                                          ["dtype=bfloat16"]),
+        }
     built = {}
     for name, cfg in configs.items():
         t0 = time.time()
@@ -180,7 +201,8 @@ def main():
     value = BATCH / ours
     print(json.dumps({
         "metric": ("obs_to_action_inferences_per_sec_per_chip_"
-                   "octo_base_diffusion_tome"),
+                   + ("octo_multicam" if MULTICAM else "octo_base")
+                   + "_diffusion_tome"),
         "value": round(value, 2),
         "unit": "inferences/sec/chip",
         "vs_baseline": round(base / ours, 3),
