@@ -78,6 +78,20 @@ class PolicyEngine:
 
     # -- compilation -----------------------------------------------------
 
+    def load_artifact(self, blob_or_path) -> "PolicyEngine":
+        """Use a precompiled policy artifact (serve.export.export_policy)
+        for the full text+images path — no compilation in this process.
+        The cached-instruction path still jit-compiles on first use."""
+        from .export import load_policy
+        fn = load_policy(blob_or_path)
+
+        class _Adapter:
+            def __call__(self, variables, text_tokens, images, key_data):
+                return fn(variables, text_tokens, images, key_data)
+
+        self._compiled = _Adapter()
+        return self
+
     def compile(self, text_shape, image_shape) -> "PolicyEngine":
         """AOT-compile the predict function(s) for fixed input shapes."""
         var_shapes = jax.tree.map(

@@ -179,3 +179,21 @@ def test_policy_export_roundtrip(tmp_path, setup):
     # live jit — identical math, ~1e-6 float noise
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_policy_engine_from_artifact(tmp_path, setup):
+    from multi_modal_transformers_tokenmerge_tpu.serve.export import (
+        export_policy)
+
+    cfg, model, variables, keys, text, images, actions = setup
+    path = str(tmp_path / "engine_policy.bin")
+    export_policy(model, variables, head="continuous", batch_size=4,
+                  text_shape=(4,), image_shape=(64, 64, 3), path=path)
+
+    engine = PolicyEngine(model, variables, head="continuous",
+                          batch_size=4).load_artifact(path)
+    got = engine(images, text_tokens=text)
+    want = model.apply(variables, text, images,
+                       method="predict_continuous_action")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
