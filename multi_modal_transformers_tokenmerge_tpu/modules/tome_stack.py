@@ -192,9 +192,9 @@ class CompressedTransformerStack(nn.Module):
                         x, size, deterministic)
             return x
 
-        if self.cfg.compression_mode != "merge":
-            raise ValueError("tome_merge_every > 1 requires "
-                             "compression_mode='merge'")
+        if self.cfg.compression_mode not in ("merge", "prune"):
+            raise ValueError(
+                f"unknown compression mode {self.cfg.compression_mode!r}")
         from .attention import EncoderBlock, select_attention_fn
 
         num_stages = -(-self.cfg.num_blocks // k)
@@ -218,8 +218,17 @@ class CompressedTransformerStack(nn.Module):
             x, _ = stack(x, jnp.asarray(mask_np), deterministic)
             layer += blocks_here
             if stage < num_stages - 1:
-                # standalone merge event: hidden-state cosine metric
-                x, size = _merge_sets(x, size, x, self.layout, stage)
+                if self.cfg.compression_mode == "merge":
+                    # standalone merge event: hidden-state cosine metric
+                    x, size = _merge_sets(x, size, x, self.layout, stage)
+                else:
+                    # standalone prune event: hidden-state L2-norm
+                    # importance (attention weights aren't exposed by the
+                    # scanned stage; norm pruning is the standard stand-in)
+                    importance = jnp.linalg.norm(
+                        x.astype(jnp.float32), axis=-1)
+                    x, size = _prune_sets(x, size, importance, self.layout,
+                                          stage)
         return x
 
     def final_layer(self) -> int:

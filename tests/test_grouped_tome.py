@@ -54,11 +54,24 @@ def test_grouped_stack_stage_params_are_scanned():
     assert q.shape[0] == 2
 
 
-def test_grouped_requires_merge_mode():
+def test_grouped_prune_mode():
+    """Grouped cadence with norm-based pruning at event boundaries."""
     layout = SequenceLayout.from_strings(
         "[Text{4}] [Image{16};Readout{2}]",
         "[Text{0}] [Image{4};Readout{0}]")
     cfg = _stack_cfg(4, 2).replace(compression_mode="prune")
+    m = CompressedTransformerStack(cfg, layout=layout)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 22, 16))
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 18, 16)
+
+
+def test_grouped_bad_mode_rejected():
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{4};Readout{0}]")
+    cfg = _stack_cfg(4, 2).replace(compression_mode="banana")
     m = CompressedTransformerStack(cfg, layout=layout)
     with pytest.raises(ValueError):
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 22, 16)))
