@@ -51,13 +51,22 @@ class OctoTrainState(flax.struct.PyTreeNode):
     # (reference: octo.py:328 text_tokenize_fn)
     text_tokenize_fn: Any = flax.struct.field(pytree_node=False,
                                               default=None)
+    # exponential moving average of params (standard for serving DDPM
+    # policies; None when disabled)
+    ema_params: Any = None
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads) -> "OctoTrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
                                                 self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params)
         return self.replace(step=self.step + 1, params=new_params,
-                            opt_state=new_opt_state)
+                            opt_state=new_opt_state, ema_params=new_ema)
 
     def step_rngs(self) -> Dict[str, jax.Array]:
         """Per-step derived rngs (reference folds per step, octo.py:210-213)."""
@@ -67,7 +76,11 @@ class OctoTrainState(flax.struct.PyTreeNode):
 
 def create_train_state(model, variables, optimizer,
                        rngs: Dict[str, jax.Array],
-                       text_tokenize_fn=None) -> OctoTrainState:
+                       text_tokenize_fn=None,
+                       ema_decay: float = 0.0) -> OctoTrainState:
+    """``ema_decay > 0`` tracks an exponential moving average of the
+    parameters (updated inside the jitted step); serve from
+    ``{"params": state.ema_params}``."""
     params = variables["params"]
     return OctoTrainState(
         step=jnp.zeros((), jnp.int32),
@@ -78,4 +91,7 @@ def create_train_state(model, variables, optimizer,
         apply_fn=model.apply,
         tx=optimizer,
         text_tokenize_fn=text_tokenize_fn,
+        ema_params=(jax.tree.map(jnp.array, params) if ema_decay > 0
+                    else None),
+        ema_decay=ema_decay,
     )

@@ -197,3 +197,38 @@ def test_policy_engine_from_artifact(tmp_path, setup):
                        method="predict_continuous_action")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_ema_params_track_and_serve(setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]},
+        ema_decay=0.9)
+    step = make_train_step("continuous")
+    p0 = jax.tree.map(jnp.array, state.params)
+    for _ in range(5):
+        state, _ = step(state, text, images, actions)
+
+    # ema lags the live params but has moved from init
+    d_live = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(p0)))
+    d_ema = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(state.ema_params), jax.tree.leaves(p0)))
+    assert 0 < d_ema < d_live
+
+    # ema params serve through the normal apply path
+    out = model.apply({"params": state.ema_params}, text, images,
+                      method="predict_continuous_action")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ema_disabled_by_default(setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    assert state.ema_params is None
+    step = make_train_step("continuous")
+    state, _ = step(state, text, images, actions)
+    assert state.ema_params is None
