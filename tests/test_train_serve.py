@@ -232,3 +232,23 @@ def test_ema_disabled_by_default(setup):
     step = make_train_step("continuous")
     state, _ = step(state, text, images, actions)
     assert state.ema_params is None
+
+
+def test_checkpoint_roundtrip_with_ema(tmp_path, setup):
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]},
+        ema_decay=0.9)
+    step = make_train_step("continuous")
+    state, _ = step(state, text, images, actions)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt_ema"))
+    assert mgr.save(int(state.step), state)
+    mgr.wait()
+    restored = mgr.restore(abstract_state=jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+    for a, b in zip(jax.tree.leaves(state.ema_params),
+                    jax.tree.leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
