@@ -20,23 +20,29 @@ __all__ = ["Metrics", "OctoTrainState", "create_train_state"]
 
 @flax.struct.dataclass
 class Metrics:
-    """Running average of the training loss (jit-friendly, mergeable —
-    mirrors clu's Average collection used by the reference, octo.py:322-324).
-    """
+    """Running averages of training loss and gradient norm (jit-friendly,
+    mergeable — mirrors clu's Average collection used by the reference,
+    octo.py:322-324, plus grad-norm observability the reference lacks)."""
 
     loss_sum: jax.Array
+    grad_norm_sum: jax.Array
     count: jax.Array
 
     @classmethod
     def empty(cls) -> "Metrics":
         return cls(loss_sum=jnp.zeros((), jnp.float32),
+                   grad_norm_sum=jnp.zeros((), jnp.float32),
                    count=jnp.zeros((), jnp.float32))
 
-    def update(self, loss) -> "Metrics":
-        return Metrics(loss_sum=self.loss_sum + loss, count=self.count + 1.0)
+    def update(self, loss, grad_norm=0.0) -> "Metrics":
+        return Metrics(loss_sum=self.loss_sum + loss,
+                       grad_norm_sum=self.grad_norm_sum + grad_norm,
+                       count=self.count + 1.0)
 
     def compute(self) -> Dict[str, jax.Array]:
-        return {"loss": self.loss_sum / jnp.maximum(self.count, 1.0)}
+        denom = jnp.maximum(self.count, 1.0)
+        return {"loss": self.loss_sum / denom,
+                "grad_norm": self.grad_norm_sum / denom}
 
 
 class OctoTrainState(flax.struct.PyTreeNode):

@@ -13,6 +13,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from .state import OctoTrainState
 
@@ -47,8 +48,10 @@ def make_train_step(head: str, donate: bool = True,
             return jnp.mean(loss)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads)
-        state = state.replace(metrics=state.metrics.update(loss))
+        state = state.replace(
+            metrics=state.metrics.update(loss, grad_norm))
         return state, loss
 
     if jit:
