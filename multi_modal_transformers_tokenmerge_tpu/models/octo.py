@@ -156,10 +156,8 @@ class Octo(nn.Module):
 
         if self._use_compression:
             embeddings = self.transformer(embeddings, deterministic=not train)
-            t = cfg.transformer
-            final = (t.num_blocks if t.tome_merge_every <= 1
-                     else -(-t.num_blocks // t.tome_merge_every) - 1)
-            readout_idx = self.layout.modality_index("readouts", layer=final)
+            readout_idx = self.layout.modality_index(
+                "readouts", layer=self.transformer.final_layer())
         else:
             mask = jnp.asarray(self.layout.attention_mask())
             embeddings = self.transformer(embeddings, mask=mask,

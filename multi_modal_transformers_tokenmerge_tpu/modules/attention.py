@@ -42,12 +42,20 @@ def select_attention_fn(cfg: TransformerConfig, mask_np, seq_len: int):
     """
     if cfg.attention_impl == "xla":
         return None
+    if cfg.attention.dropout_rate > 0.0:
+        # the kernel has no attention-weight dropout (it IS differentiable:
+        # custom VJP, optionally native backward); silently skipping the
+        # configured regularization would change training semantics
+        if cfg.attention_impl == "flash":
+            raise ValueError(
+                "attention_impl='flash' cannot honor "
+                f"attention.dropout_rate={cfg.attention.dropout_rate}: the "
+                "Pallas kernel has no attention-weight dropout. Set "
+                "attention.dropout_rate=0.0 or use attention_impl='auto'/"
+                "'xla'.")
+        return None
     if cfg.attention_impl == "auto":
         if seq_len < cfg.flash_min_seq or jax.default_backend() != "tpu":
-            return None
-        if cfg.attention.dropout_rate > 0.0:
-            # the kernel has no attention-weight dropout (it IS
-            # differentiable: custom VJP, optionally native backward)
             return None
     from ..ops.flash_attention import make_attention_fn
     return make_attention_fn(mask_np, block_q=cfg.flash_block_q,

@@ -22,6 +22,7 @@ the regime of multi-camera/history OCTO sequences.
 from __future__ import annotations
 
 import functools
+import hashlib
 import math
 import jax
 import jax.numpy as jnp
@@ -267,13 +268,21 @@ def _mask_tables(mask_key, block_q: int, block_k: int):
     return padded, k_hi
 
 
-# Static masks are registered by value-hash so jit caching and lru caching
-# key on content, not array identity.
+# Static masks are registered by content digest so jit caching and lru
+# caching key on content, not array identity — a digest (unlike Python
+# ``hash``) cannot collide two different masks onto one kernel.  The
+# registry is bounded: ``flash_attention`` re-registers its mask on every
+# call *before* any table lookup, so FIFO eviction of cold entries is safe.
 _MASK_REGISTRY = {}
+_MASK_REGISTRY_MAX = 64
 
 
-def _register_mask(mask: np.ndarray) -> int:
-    key = hash(mask.tobytes()) ^ hash(mask.shape)
+def _register_mask(mask: np.ndarray) -> str:
+    key = hashlib.sha1(
+        mask.tobytes() + repr((mask.shape, mask.dtype.str)).encode()
+    ).hexdigest()[:20]
+    if key not in _MASK_REGISTRY and len(_MASK_REGISTRY) >= _MASK_REGISTRY_MAX:
+        _MASK_REGISTRY.pop(next(iter(_MASK_REGISTRY)))
     _MASK_REGISTRY[key] = mask
     return key
 

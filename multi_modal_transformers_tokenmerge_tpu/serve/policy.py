@@ -14,7 +14,6 @@ untraced Python dispatch, re-running the frozen T5 text tower every step
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -61,6 +60,10 @@ class PolicyEngine:
         self._compiled = None
         self._compiled_cached = None
         self._text_embeddings = None
+        # per-instance jit caches (an lru_cache on a method would key on
+        # self and pin every engine — and its variables pytree — for the
+        # life of the process)
+        self._jit_cache = {}
 
     # -- instruction caching ----------------------------------------------
 
@@ -71,10 +74,11 @@ class PolicyEngine:
             self.variables, jnp.asarray(text_tokens))
         return self
 
-    @functools.lru_cache(maxsize=None)
     def _encode_text_fn(self):
-        return jax.jit(lambda v, t: self.model.apply(v, t,
-                                                     method="encode_text"))
+        if "encode_text" not in self._jit_cache:
+            self._jit_cache["encode_text"] = jax.jit(
+                lambda v, t: self.model.apply(v, t, method="encode_text"))
+        return self._jit_cache["encode_text"]
 
     # -- compilation -----------------------------------------------------
 
@@ -158,9 +162,10 @@ class PolicyEngine:
         return self._jitted(_PREDICT_METHODS[self.head])(
             self.variables, text_tokens, images, rngs)
 
-    @functools.lru_cache(maxsize=None)
     def _jitted(self, method):
-        def fn(variables, text_arg, images, rngs):
-            return self.model.apply(variables, text_arg, images,
-                                    rngs=rngs, method=method)
-        return jax.jit(fn)
+        if method not in self._jit_cache:
+            def fn(variables, text_arg, images, rngs):
+                return self.model.apply(variables, text_arg, images,
+                                        rngs=rngs, method=method)
+            self._jit_cache[method] = jax.jit(fn)
+        return self._jit_cache[method]

@@ -40,6 +40,10 @@ def fit(state: OctoTrainState,
     step = step_fn if step_fn is not None else make_train_step(head)
     sharding = batch_sharding(mesh) if mesh is not None else None
 
+    # track the step counter on the host: int(state.step) blocks on the
+    # just-dispatched donated step, serializing the pipeline (and on this
+    # class of rig, hitting a ~25ms device-poll floor every step)
+    start_step = int(state.step)
     it = iter(batches)
     for i in range(num_steps):
         batch = next(it)
@@ -47,7 +51,7 @@ def fit(state: OctoTrainState,
             batch = tuple(jax.device_put(x, sharding) for x in batch)
         state, loss = step(state, *batch)
 
-        step_no = int(state.step)
+        step_no = start_step + i + 1
         if logger is not None and (i + 1) % log_every == 0:
             metrics = jax.device_get(state.metrics.compute())
             logger.log({**metrics, "last_loss": float(loss)}, step=step_no)
@@ -58,6 +62,6 @@ def fit(state: OctoTrainState,
             checkpointer.save(step_no, state)
 
     if checkpointer is not None:
-        checkpointer.save(int(state.step), state)
+        checkpointer.save(start_step + num_steps, state)
         checkpointer.wait()
     return state

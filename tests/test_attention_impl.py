@@ -37,9 +37,24 @@ def test_explicit_xla():
         TransformerConfig(attention_impl="xla"), LONG) is None
 
 
+def test_explicit_flash_with_weight_dropout_raises():
+    # the kernel has no attention-weight dropout; forcing it with a nonzero
+    # rate must fail loudly instead of silently dropping the regularization
+    import pytest
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig)
+    cfg = TransformerConfig(attention_impl="flash",
+                            attention=AttentionConfig(dropout_rate=0.1))
+    with pytest.raises(ValueError, match="attention-weight dropout"):
+        _select_attention_fn(cfg, SHORT)
+
+
 def test_explicit_flash_returns_fn():
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig)
     fn = _select_attention_fn(
-        TransformerConfig(attention_impl="flash"), SHORT)
+        TransformerConfig(attention_impl="flash",
+                          attention=AttentionConfig(dropout_rate=0.0)), SHORT)
     assert fn is not None
     # runs in interpret mode via flash_attention's interpret path
     from multi_modal_transformers_tokenmerge_tpu.ops.flash_attention import (
