@@ -11,13 +11,32 @@ architecture-faithful re-implementation with the reference's numerics and
 no TPU-specific optimizations.)
 
 Ours: the TPU-native serving path — bfloat16 compute, AOT-compiled, with a
-ToMe token-merging variant reported alongside.
+ToMe token-merging variant as the headline.
 
-Measurement protocol: this rig's device sync falls into a ~25ms poll
-interval for ops slower than ~1ms, so per-call block_until_ready inflates
-latencies.  Throughput is therefore measured PIPELINED: enqueue K calls over
-cycling input batches, block once, divide.  Per-call p50 with full sync is
-reported in detail (upper bound).
+Measurement protocol (round 2 — DEVICE time, not enqueue time):
+  On this rig ``jax.block_until_ready`` over the axon tunnel returns
+  without awaiting remote execution, so wall-clock around enqueued calls
+  measures dispatch only (round 1 reported ~28x over v5e peak this way).
+  Instead every variant is timed as a K-iteration ``lax.fori_loop`` INSIDE
+  one jitted computation whose result is a scalar checksum of every
+  iteration's output; ``float(...)`` on that scalar forces a real
+  device->host transfer, which cannot complete before the loop does.  K is
+  a dynamic argument (one compile serves every K) and all tensors are jit
+  ARGUMENTS, not captured consts (consts are serialized into the remote
+  compile request and blow its size limit).  The per-iteration input is
+  selected with ``dynamic_index_in_dim(i % n)`` and the RNG is
+  ``fold_in(key, i)`` so no iteration is loop-invariant (nothing can be
+  hoisted or CSE'd out of the loop).  sec/call is the two-point slope
+  (t(K2) - t(K1)) / (K2 - K1), which cancels the fixed dispatch+transfer
+  overhead exactly.
+
+  Every throughput number is cross-checked against the compiled
+  executable's own FLOP count (``compiled.cost_analysis()['flops']``):
+  the bench FAILS LOUDLY if any variant implies more than the chip's peak
+  FLOP/s (MFU > 1), and reports achieved TFLOP/s + MFU per variant.
+
+Env knobs: BENCH_BATCH (default 32), BENCH_REPS, BENCH_SKIP_EXTRAS=1
+(headline only), BENCH_DEEP=1 / BENCH_MULTICAM=1 (alternate workloads).
 """
 
 import json
@@ -30,56 +49,402 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-CALLS = int(os.environ.get("BENCH_CALLS", "30"))
-N_INPUTS = 8
-# BENCH_DEEP=1 benchmarks the isolated production-scale encoder stack
-# (224 tokens, 12 blocks, 4x MLP) with/without grouped ToMe instead of the
-# full OCTO-Base model — the regime where token merging pays (BASELINE.md).
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+N_INPUTS = 2
+SKIP_EXTRAS = os.environ.get("BENCH_SKIP_EXTRAS") == "1"
 DEEP = os.environ.get("BENCH_DEEP") == "1"
-# BENCH_MULTICAM=1 benchmarks BASELINE config 4 (base+wrist views, 2-frame
-# history, 124-token sequence) instead of octo_base.
 MULTICAM = os.environ.get("BENCH_MULTICAM") == "1"
+
+# bf16 peak FLOP/s per chip by device kind — the physical ceiling used for
+# the MFU sanity assert (any measurement implying more is a broken bench,
+# not a fast program).  f32 peak on TPU MXU is lower, so bf16 peak is a
+# valid upper bound for every dtype we run.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e: 197 bf16 TFLOP/s
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,       # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_round(fn, args_list, calls):
-    """Pipelined: enqueue `calls` invocations, sync once.  Returns sec/call."""
-    outs = []
+def device_peak_flops():
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak, kind
+    return None, kind  # unknown (e.g. CPU smoke run): skip the assert
+
+
+def flops_of(compiled):
+    """FLOPs of one call of an AOT-compiled function, from XLA's own cost
+    model.  Returns None when the backend doesn't expose it."""
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def build_loop(step_fn):
+    """jit a K-iteration fori_loop over ``step_fn(i, *args) -> scalar``.
+    K is dynamic (while-loop lowering: one compile serves every K); *args
+    are jit arguments so no large tensor is baked into the executable."""
+    @jax.jit
+    def loop(k, *args):
+        def body(i, acc):
+            return acc + step_fn(i, *args)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0),
+                                 unroll=False)
+    return loop
+
+
+def _run(loop, k, args):
     t0 = time.perf_counter()
-    for i in range(calls):
-        outs.append(fn(*args_list[i % len(args_list)]))
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / calls
+    out = float(loop(jnp.int32(k), *args))  # float() forces a real
+    dt = time.perf_counter() - t0           # device->host transfer
+    assert np.isfinite(out), f"non-finite checksum {out}"
+    return dt
 
 
-def measure_variants(variants, rounds=5, calls=10):
-    """Alternate variants across rounds so tunnel-latency drift (30x swings
-    observed on this rig) spreads evenly; report per-variant medians."""
-    samples = {name: [] for name in variants}
-    # warmup all
-    for name, (fn, args_list) in variants.items():
-        jax.block_until_ready(fn(*args_list[0]))
-    for _ in range(rounds):
-        for name, (fn, args_list) in variants.items():
-            samples[name].append(measure_round(fn, args_list, calls))
-    return {name: float(np.median(s)) for name, s in samples.items()}
+def sec_per_call(loop, args, label=""):
+    """Two-point slope timing: cancels fixed dispatch/transfer overhead."""
+    _run(loop, 2, args)  # warm: compile + const upload
+    k1 = 4
+    t1 = _run(loop, k1, args)
+    est = max((t1 - 0.02) / k1, 2e-5)
+    k2 = int(np.clip(1.0 / est, k1 + 16, 400))
+    ts1, ts2 = [], []
+    for _ in range(REPS):  # interleave so tunnel drift spreads evenly
+        ts1.append(_run(loop, k1, args))
+        ts2.append(_run(loop, k2, args))
+    t1m, t2m = float(np.median(ts1)), float(np.median(ts2))
+    slope = (t2m - t1m) / (k2 - k1)
+    if slope <= 0:  # noise swamped the delta; fall back to the upper bound
+        slope = t2m / k2
+    log(f"[bench] {label}: K=({k1},{k2}) t=({t1m*1e3:.1f},{t2m*1e3:.1f})ms "
+        f"-> {slope*1e3:.3f} ms/call")
+    return slope
 
 
-def measure_latency_p50(fn, args_list, iters=10):
-    samples = []
-    for i in range(iters):
-        a = args_list[i % len(args_list)]
+def check_mfu(name, sec, flops, peak, entry):
+    """Record achieved TFLOP/s + MFU; fail loudly on physically impossible
+    numbers (the round-1 failure mode this protocol exists to prevent)."""
+    if flops is None:
+        entry["mfu"] = None
+        return
+    achieved = flops / sec
+    entry["tflops"] = round(achieved / 1e12, 2)
+    if peak is not None:
+        mfu = achieved / peak
+        entry["mfu"] = round(mfu, 4)
+        if mfu > 1.0:
+            log(f"[bench] FATAL: {name} implies {achieved/1e12:.1f} TFLOP/s "
+                f"> peak {peak/1e12:.0f} (MFU {mfu:.2f}) — the measurement "
+                f"is not awaiting device execution; refusing to report it.")
+            raise SystemExit(1)
+
+
+# ---------------------------------------------------------------------------
+# workloads
+# ---------------------------------------------------------------------------
+
+def serve_step(model, method):
+    """Per-iteration scalar for an obs->action serving variant.
+    args = (variables, text_or_emb, images_stack, key)."""
+    def step(i, variables, text, images_stack, key):
+        img = jax.lax.dynamic_index_in_dim(images_stack,
+                                           i % images_stack.shape[0],
+                                           keepdims=False)
+        rngs = {"diffusion": jax.random.fold_in(key, i)}
+        out = model.apply(variables, text, img, rngs=rngs, method=method)
+        return jnp.sum(out.astype(jnp.float32))
+    return step
+
+
+def main():
+    from multi_modal_transformers_tokenmerge_tpu.core.yaml_loader import (
+        load_config)
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+
+    peak, kind = device_peak_flops()
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((BATCH, 16), dtype=jnp.int32)
+    rng = np.random.default_rng(0)
+    frames = 4 if MULTICAM else 2
+    images_stack = jnp.asarray(
+        rng.integers(0, 256, (N_INPUTS, BATCH, frames, 280, 280, 3)),
+        dtype=jnp.float32)
+    log(f"[bench] batch={BATCH} frames={frames} device={kind} "
+        f"peak={'%.0f TF' % (peak/1e12) if peak else 'unknown'}")
+
+    if MULTICAM:
+        from multi_modal_transformers_tokenmerge_tpu.models.presets import (
+            octo_multicam)
+        base_mc = octo_multicam()
+        tome_mc = base_mc.replace(
+            compression_sequence=("[TaskDescriptionPrefix{0}] "
+                                  "[Image{2};Image{2};Readout{0}]*2"),
+            transformer=base_mc.transformer.replace(
+                compression_mode="merge"))
+        configs = {
+            "baseline_f32": base_mc,
+            "ours_bf16": octo_multicam(dtype="bfloat16"),
+            "ours_bf16_tome": tome_mc.replace(dtype="bfloat16"),
+        }
+        metric_tag = "octo_multicam"
+    else:
+        configs = {
+            "baseline_f32": load_config("octo_base"),
+            "ours_bf16": load_config("octo_base", ["dtype=bfloat16"]),
+            "ours_bf16_tome": load_config("octo_base_tome",
+                                          ["dtype=bfloat16"]),
+        }
+        metric_tag = "octo_base"
+
+    results = {}
+    models = {}
+    for name, cfg in configs.items():
+        t0 = time.time()
+        model = Octo(cfg)
+        variables = jax.jit(model.init)(
+            {"params": keys[0], "patch_encoding": keys[1],
+             "dropout": keys[2], "diffusion": keys[3]},
+            text, images_stack[0])
+        # single-call AOT compile: used only for XLA's FLOP count
+        single = jax.jit(
+            lambda v, t, im, k, model=model: model.apply(
+                v, t, im, rngs={"diffusion": k},
+                method="predict_diffusion_action")
+        ).lower(variables, text, images_stack[0], keys[3]).compile()
+        flops = flops_of(single)
+        loop = build_loop(serve_step(model, "predict_diffusion_action"))
+        sec = sec_per_call(loop, (variables, text, images_stack, keys[3]),
+                           name)
+        results[name] = {
+            "ms_per_call": round(sec * 1e3, 3),
+            "inf_per_sec": round(BATCH / sec, 1),
+            "gflops_per_call": round(flops / 1e9, 1) if flops else None,
+        }
+        check_mfu(name, sec, flops, peak, results[name])
+        models[name] = (model, variables)
+        log(f"[bench] {name}: {BATCH/sec:.0f} inf/s ({sec*1e3:.2f} ms/call, "
+            f"{results[name].get('tflops', '?')} TFLOP/s, "
+            f"MFU {results[name].get('mfu', '?')}) "
+            f"[total {time.time()-t0:.0f}s]")
+
+    detail = {"batch": BATCH, "device": kind, "variants": results}
+
+    if not SKIP_EXTRAS:
+        detail["serving_b1"] = bench_serving_b1(models["ours_bf16"], peak)
+        detail["train"] = bench_train(configs["ours_bf16"], images_stack,
+                                      text, peak)
+        if not MULTICAM:
+            detail["flash_attention_s424"] = bench_flash(peak)
+
+    ours = results["ours_bf16_tome"]
+    base = results["baseline_f32"]
+    print(json.dumps({
+        "metric": (f"obs_to_action_inferences_per_sec_per_chip_"
+                   f"{metric_tag}_diffusion_tome"),
+        "value": ours["inf_per_sec"],
+        "unit": "inferences/sec/chip",
+        "vs_baseline": round(base["ms_per_call"] / ours["ms_per_call"], 3),
+        "detail": detail,
+    }), flush=True)
+
+
+def bench_serving_b1(model_vars, peak):
+    """North-star p50: batch-1 obs->action latency with the instruction's
+    text embedding precomputed (the cached-instruction serving path).
+    The fori_loop is serial, so slope == true per-call device latency."""
+    model, variables = model_vars
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.integers(0, 256, (N_INPUTS, 1, 2, 280, 280, 3)),
+                         dtype=jnp.float32)
+    text = jnp.ones((1, 16), dtype=jnp.int32)
+    text_emb = model.apply(variables, text, method="encode_text")
+    key = jax.random.PRNGKey(7)
+
+    loop = build_loop(serve_step(model, "predict_diffusion_action_with_text"))
+    sec = sec_per_call(loop, (variables, text_emb, images, key),
+                       "serving_b1_cached_text")
+    out = {"p50_ms": round(sec * 1e3, 3), "batch": 1, "cached_text": True}
+    single = jax.jit(
+        lambda v, te, im, k: model.apply(
+            v, te, im, rngs={"diffusion": k},
+            method="predict_diffusion_action_with_text")
+    ).lower(variables, text_emb, images[0], key).compile()
+    flops = flops_of(single)
+    if flops:
+        out["gflops_per_call"] = round(flops / 1e9, 2)
+        if peak and flops / sec > peak:
+            log("[bench] FATAL: serving_b1 exceeds peak FLOP/s")
+            raise SystemExit(1)
+    log(f"[bench] serving_b1: p50 {sec*1e3:.2f} ms")
+    return out
+
+
+def bench_train(cfg, images_stack, text, peak):
+    """Donated jitted diffusion train step throughput (steps/sec)."""
+    import optax
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    from multi_modal_transformers_tokenmerge_tpu.train.state import (
+        create_train_state)
+    from multi_modal_transformers_tokenmerge_tpu.train.steps import (
+        make_train_step)
+
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        text, images_stack[0])
+    state0 = create_train_state(
+        model, variables, optax.adamw(1e-4),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1],
+              "diffusion": keys[3]})
+    actions = jnp.full((BATCH, 8), 0.3, dtype=jnp.float32)
+    raw_step = make_train_step("diffusion", donate=False, jit=False)
+
+    @jax.jit
+    def loop(k, state0, text, images_stack, actions):
+        def body(i, carry):
+            state, acc = carry
+            img = jax.lax.dynamic_index_in_dim(images_stack,
+                                               i % images_stack.shape[0],
+                                               keepdims=False)
+            state, loss = raw_step(state, text, img, actions)
+            return state, acc + loss
+        _, acc = jax.lax.fori_loop(0, k, body, (state0, jnp.float32(0.0)),
+                                   unroll=False)
+        return acc
+
+    def run(k, args):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*a))
-        samples.append(time.perf_counter() - t0)
-    return float(np.percentile(samples, 50))
+        out = float(loop(jnp.int32(k), *args))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(out), out
+        return dt
+
+    args = (state0, text, images_stack, actions)
+    run(2, args)
+    k1, k2 = 4, 40
+    ts1 = [run(k1, args) for _ in range(REPS)]
+    ts2 = [run(k2, args) for _ in range(REPS)]
+    sec = (float(np.median(ts2)) - float(np.median(ts1))) / (k2 - k1)
+    if sec <= 0:
+        sec = float(np.median(ts2)) / k2
+    single = jax.jit(raw_step, donate_argnums=0).lower(
+        state0, text, images_stack[0], actions).compile()
+    flops = flops_of(single)
+    out = {"steps_per_sec": round(1.0 / sec, 2),
+           "ms_per_step": round(sec * 1e3, 3), "batch": BATCH,
+           "examples_per_sec": round(BATCH / sec, 1)}
+    if flops and peak:
+        mfu = flops / sec / peak
+        out["mfu"] = round(mfu, 4)
+        if mfu > 1.0:
+            log("[bench] FATAL: train step exceeds peak FLOP/s")
+            raise SystemExit(1)
+    log(f"[bench] train: {1.0/sec:.1f} steps/s ({sec*1e3:.1f} ms/step, "
+        f"MFU {out.get('mfu', '?')})")
+    return out
+
+
+def bench_flash(peak, blocks=12, batch=8):
+    """Pallas flash attention vs XLA on a production-scale stack (424-token
+    4-camera 2-frame layout, 12 blocks, 768-dim): forward AND train-step
+    (native Pallas backward vs XLA-recompute backward)."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig, TransformerConfig)
+    from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
+        TransformerStack)
+    from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
+        SequenceLayout)
+
+    layout = SequenceLayout.from_strings(
+        "[TaskDescriptionPrefix{16}] "
+        "[Image{100};Image{100};Readout{4}]*2")
+    s, e = layout.total_tokens, 768
+    mask = jnp.asarray(layout.attention_mask())
+    xs = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(i), (batch, s, e),
+                          dtype=jnp.bfloat16) for i in range(N_INPUTS)])
+
+    out = {"seq": s, "blocks": blocks, "batch": batch}
+    stacks = {}
+    for impl, bwd in (("xla", "xla"), ("flash", "xla"), ("flash", "pallas")):
+        cfg = TransformerConfig(
+            num_blocks=blocks,
+            attention=AttentionConfig(num_heads=12, qkv_features=e,
+                                      dropout_rate=0.0),
+            attention_impl=impl, flash_backward=bwd,
+            mlp_dim=4 * e, dropout_rate=0.0)
+        stacks[(impl, bwd)] = TransformerStack(cfg, dtype=jnp.bfloat16)
+
+    variables = jax.jit(
+        lambda k, x: stacks[("xla", "xla")].init(k, x, mask=mask)
+    )(jax.random.PRNGKey(1), xs[0])
+
+    fwd = {}
+    for impl in ("xla", "flash"):
+        stack = stacks[(impl, "xla")]
+
+        def step(i, variables, xs, mask, stack=stack):
+            x = jax.lax.dynamic_index_in_dim(xs, i % xs.shape[0],
+                                             keepdims=False)
+            y = stack.apply(variables, x, mask=mask)
+            return jnp.sum(y.astype(jnp.float32))
+        sec = sec_per_call(build_loop(step), (variables, xs, mask),
+                           f"flash_fwd_{impl}")
+        single = jax.jit(
+            lambda v, x, m, stack=stack: stack.apply(v, x, mask=m)
+        ).lower(variables, xs[0], mask).compile()
+        flops = flops_of(single)
+        if flops and peak and flops / sec > peak:
+            log(f"[bench] FATAL: flash fwd {impl} exceeds peak")
+            raise SystemExit(1)
+        fwd[impl] = sec
+    out["forward_ms"] = {k: round(v * 1e3, 3) for k, v in fwd.items()}
+    out["forward_flash_speedup"] = round(fwd["xla"] / fwd["flash"], 3)
+
+    bwd = {}
+    for impl, b in (("xla", "xla"), ("flash", "xla"), ("flash", "pallas")):
+        stack = stacks[(impl, b)]
+
+        def step(i, variables, xs, mask, stack=stack):
+            x = jax.lax.dynamic_index_in_dim(xs, i % xs.shape[0],
+                                             keepdims=False)
+
+            def loss(v):
+                y = stack.apply(v, x, mask=mask)
+                return jnp.mean(jnp.square(y.astype(jnp.float32)))
+            l, g = jax.value_and_grad(loss)(variables)
+            leaves = jax.tree.leaves(g)
+            return l + sum(jnp.sum(t.astype(jnp.float32)) for t in leaves)
+        sec = sec_per_call(build_loop(step), (variables, xs, mask),
+                           f"flash_train_{impl}_{b}")
+        bwd[f"{impl}_{b}"] = sec
+    out["train_ms"] = {k: round(v * 1e3, 3) for k, v in bwd.items()}
+    out["train_flash_pallas_speedup_vs_xla_attn"] = round(
+        bwd["xla_xla"] / bwd["flash_pallas"], 3)
+    out["pallas_backward_speedup_vs_recompute"] = round(
+        bwd["flash_xla"] / bwd["flash_pallas"], 3)
+    log(f"[bench] flash@{s}: fwd {out['forward_ms']} train {out['train_ms']}")
+    return out
 
 
 def main_deep():
-    """Isolated encoder-stack benchmark: vanilla vs grouped ToMe."""
+    """Isolated production-scale encoder stack (224 tokens, 12 blocks,
+    4x MLP): vanilla vs grouped ToMe, device-time protocol."""
     from multi_modal_transformers_tokenmerge_tpu.core.config import (
         AttentionConfig, TransformerConfig)
     from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
@@ -89,6 +454,7 @@ def main_deep():
     from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
         SequenceLayout)
 
+    peak, kind = device_peak_flops()
     layout = SequenceLayout.from_strings(
         "[TaskDescriptionPrefix{16}] [Image{100};Readout{4}]*2",
         "[TaskDescriptionPrefix{0}] [Image{32};Readout{0}]*2")
@@ -98,8 +464,9 @@ def main_deep():
         attention=AttentionConfig(num_heads=12, qkv_features=768,
                                   dropout_rate=0.0),
         mlp_dim=3072, dropout_rate=0.0)
-    xs = [jax.random.normal(jax.random.PRNGKey(i), (BATCH, s, e),
-                            dtype=jnp.bfloat16) for i in range(N_INPUTS)]
+    xs = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(i), (BATCH, s, e),
+                          dtype=jnp.bfloat16) for i in range(N_INPUTS)])
     mask = jnp.asarray(layout.attention_mask())
 
     vanilla = TransformerStack(base, dtype=jnp.bfloat16)
@@ -109,114 +476,28 @@ def main_deep():
         base.replace(compression_mode="merge", tome_merge_every=4),
         layout=layout, dtype=jnp.bfloat16)
     tv = jax.jit(tome.init)(jax.random.PRNGKey(1), xs[0])
-    built = {
-        "vanilla": (jax.jit(lambda v, x: vanilla.apply(v, x, mask=mask)),
-                    [(vv, x) for x in xs]),
-        "tome": (jax.jit(tome.apply), [(tv, x) for x in xs]),
+
+    def vanilla_step(i, v, xs, mask):
+        x = jax.lax.dynamic_index_in_dim(xs, i % xs.shape[0], keepdims=False)
+        return jnp.sum(vanilla.apply(v, x, mask=mask).astype(jnp.float32))
+
+    def tome_step(i, v, xs):
+        x = jax.lax.dynamic_index_in_dim(xs, i % xs.shape[0], keepdims=False)
+        return jnp.sum(tome.apply(v, x).astype(jnp.float32))
+
+    res = {
+        "vanilla": sec_per_call(build_loop(vanilla_step), (vv, xs, mask),
+                                "vanilla"),
+        "tome": sec_per_call(build_loop(tome_step), (tv, xs), "tome"),
     }
-    medians = measure_variants(built, rounds=5, calls=10)
-    value = BATCH / medians["tome"]
+    value = BATCH / res["tome"]
     print(json.dumps({
         "metric": "deep_stack_sequences_per_sec_tome_224tok_12blk",
         "value": round(value, 2),
         "unit": "sequences/sec/chip",
-        "vs_baseline": round(medians["vanilla"] / medians["tome"], 3),
-        "detail": {"batch": BATCH, "ms_per_call": {
-            k: round(v * 1e3, 3) for k, v in medians.items()}},
-    }), flush=True)
-
-
-def main():
-    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
-    from multi_modal_transformers_tokenmerge_tpu.core.yaml_loader import (
-        load_config)
-
-    keys = jax.random.split(jax.random.PRNGKey(0), 4)
-    text = jnp.ones((BATCH, 16), dtype=jnp.int32)
-    rng = np.random.default_rng(0)
-    frames = 4 if MULTICAM else 2  # multicam: base+wrist views x 2 frames
-    # a distinct image batch per enqueued call defeats any request caching
-    image_batches = [
-        jnp.asarray(rng.integers(0, 256, (BATCH, frames, 280, 280, 3)),
-                    dtype=jnp.float32)
-        for _ in range(max(N_INPUTS, 10))
-    ]
-    log(f"[bench] batch={BATCH} frames={frames} device={jax.devices()[0]}")
-
-    def build(cfg):
-        model = Octo(cfg)
-        variables = jax.jit(model.init)(
-            {"params": keys[0], "patch_encoding": keys[1],
-             "dropout": keys[2], "diffusion": keys[3]},
-            text, image_batches[0])
-        def serve(variables, text_tokens, images, key):
-            return model.apply(variables, text_tokens, images,
-                               rngs={"diffusion": key},
-                               method="predict_diffusion_action")
-        compiled = jax.jit(serve).lower(
-            variables, text, image_batches[0], keys[3]).compile()
-        return variables, compiled
-
-    if MULTICAM:
-        from multi_modal_transformers_tokenmerge_tpu.models.presets import (
-            octo_multicam)
-        base_mc = octo_multicam()
-        tome_mc = base_mc.replace(
-            compression_sequence=(
-                "[TaskDescriptionPrefix{0}] "
-                "[Image{2};Image{2};Readout{0}]*2"),
-            transformer=base_mc.transformer.replace(
-                compression_mode="merge"))
-        configs = {
-            "baseline_f32": base_mc,
-            "ours_bf16": octo_multicam(dtype="bfloat16"),
-            "ours_bf16_tome": tome_mc.replace(dtype="bfloat16"),
-        }
-    else:
-        configs = {
-            "baseline_f32": load_config("octo_base"),
-            "ours_bf16": load_config("octo_base", ["dtype=bfloat16"]),
-            "ours_bf16_tome": load_config("octo_base_tome",
-                                          ["dtype=bfloat16"]),
-        }
-    built = {}
-    for name, cfg in configs.items():
-        t0 = time.time()
-        variables, compiled = build(cfg)
-        args_list = [(variables, text, img, keys[3]) for img in image_batches]
-        built[name] = (compiled, args_list)
-        log(f"[bench] built {name} in {time.time() - t0:.0f}s")
-
-    medians = measure_variants(built, rounds=5, calls=10)
-    results = {}
-    for name, sec in medians.items():
-        p50 = measure_latency_p50(*built[name])
-        results[name] = {"sec_per_call": sec, "p50_sync": p50}
-        log(f"[bench] {name}: {BATCH / sec:.0f} inf/s "
-            f"({sec * 1e3:.2f}ms/call pipelined, p50 sync "
-            f"{p50 * 1e3:.2f}ms)")
-
-    ours = results["ours_bf16_tome"]["sec_per_call"]
-    base = results["baseline_f32"]["sec_per_call"]
-    value = BATCH / ours
-    print(json.dumps({
-        "metric": ("obs_to_action_inferences_per_sec_per_chip_"
-                   + ("octo_multicam" if MULTICAM else "octo_base")
-                   + "_diffusion_tome"),
-        "value": round(value, 2),
-        "unit": "inferences/sec/chip",
-        "vs_baseline": round(base / ours, 3),
-        "detail": {
-            "batch": BATCH,
-            "pipelined_ms_per_call": {
-                k: round(v["sec_per_call"] * 1e3, 3)
-                for k, v in results.items()},
-            "p50_sync_ms": {
-                k: round(v["p50_sync"] * 1e3, 3) for k, v in results.items()},
-            "baseline_inferences_per_sec": round(BATCH / base, 2),
-            "vanilla_bf16_inferences_per_sec": round(
-                BATCH / results["ours_bf16"]["sec_per_call"], 2),
-        },
+        "vs_baseline": round(res["vanilla"] / res["tome"], 3),
+        "detail": {"batch": BATCH, "device": kind, "ms_per_call": {
+            k: round(v * 1e3, 3) for k, v in res.items()}},
     }), flush=True)
 
 
