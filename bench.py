@@ -247,7 +247,7 @@ def main():
         detail["train"] = bench_train(configs["ours_bf16"], images_stack,
                                       text, peak)
         if not MULTICAM:
-            detail["flash_attention_s424"] = bench_flash(peak)
+            detail["flash_attention_s1024"] = bench_flash(peak)
 
     ours = results["ours_bf16_tome"]
     base = results["baseline_f32"]
@@ -360,9 +360,10 @@ def bench_train(cfg, images_stack, text, peak):
 
 
 def bench_flash(peak, blocks=12, batch=8):
-    """Pallas flash attention vs XLA on a production-scale stack (424-token
-    4-camera 2-frame layout, 12 blocks, 768-dim): forward AND train-step
-    (native Pallas backward vs XLA-recompute backward)."""
+    """Pallas flash attention vs XLA on a long-context stack (1024-token
+    5-camera 2-frame layout, 12 blocks, 768-dim): forward AND train-step
+    (native Pallas backward vs XLA-recompute backward).  The honest
+    crossover is between 512 and 1024 tokens (docs/KERNELS.md)."""
     from multi_modal_transformers_tokenmerge_tpu.core.config import (
         AttentionConfig, TransformerConfig)
     from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
@@ -372,7 +373,8 @@ def bench_flash(peak, blocks=12, batch=8):
 
     layout = SequenceLayout.from_strings(
         "[TaskDescriptionPrefix{16}] "
-        "[Image{100};Image{100};Readout{4}]*2")
+        "[Image{100};Image{100};Image{100};Image{100};Image{100};"
+        "Readout{4}]*2")
     s, e = layout.total_tokens, 768
     mask = jnp.asarray(layout.attention_mask())
     xs = jnp.stack([

@@ -63,6 +63,13 @@ class ResNetEmbedderConfig(_Replaceable):
     group_norm_groups: int = 32
     group_norm_epsilon: float = 1e-6
     output_features: int = 768
+    # GroupNorm statistics scope.  'image' reproduces the reference exactly:
+    # flax GroupNorm's default reduction axes on the reference's
+    # (B, F, P, p, p, C) patch tensor pool statistics over ALL patches and
+    # frames of a batch element (image_tokenizer.py:165 + flax default
+    # reduction_axes = every non-leading dim).  'patch' computes standard
+    # per-patch stats — each patch normalized independently.
+    norm_stats_scope: str = "image"  # 'image' | 'patch'
 
 
 @dataclass(frozen=True)
@@ -139,14 +146,16 @@ class TransformerConfig(_Replaceable):
     layer_norm_reduction: str = "features"
     # attention implementation: 'auto' picks the Pallas flash kernel on TPU
     # for sequences >= flash_min_seq (deterministic path), otherwise XLA.
+    # The honest device-time crossover on v5e is between 512 (parity) and
+    # 1024 (kernel 2.4x fwd / 2x bwd) — docs/KERNELS.md.
     attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
-    flash_min_seq: int = 256
-    flash_block_q: int = 128
-    flash_block_k: int = 128
-    # gradient path for the flash kernel: 'xla' recomputes through XLA
-    # attention; 'pallas' runs the native dq/dkv kernels (no (B,H,S,S)
-    # weights in the backward)
-    flash_backward: str = "xla"
+    flash_min_seq: int = 1024
+    flash_block_q: int = 0  # 0 = measured-on-v5e auto sizing
+    flash_block_k: int = 0
+    # gradient path for the flash kernel: 'pallas' runs the native dq/dkv
+    # kernels (no (B,H,S,S) weights in the backward; ~2x over recompute at
+    # S>=1024 on v5e); 'xla' recomputes through XLA attention
+    flash_backward: str = "pallas"
     # ToMe token merging: tokens merged per compressible set per layer come
     # from the sequence compression string; this picks merge vs prune.
     compression_mode: str = "none"  # 'none' | 'merge' | 'prune'

@@ -58,8 +58,8 @@ def select_attention_fn(cfg: TransformerConfig, mask_np, seq_len: int):
         if seq_len < cfg.flash_min_seq or jax.default_backend() != "tpu":
             return None
     from ..ops.flash_attention import make_attention_fn
-    return make_attention_fn(mask_np, block_q=cfg.flash_block_q,
-                             block_k=cfg.flash_block_k,
+    return make_attention_fn(mask_np, block_q=cfg.flash_block_q or None,
+                             block_k=cfg.flash_block_k or None,
                              backward=cfg.flash_backward)
 
 

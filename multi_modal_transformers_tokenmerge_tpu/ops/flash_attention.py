@@ -47,7 +47,10 @@ def _flash_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     d = head_dim
 
     for h in range(num_heads):
-        q = q_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)  # (BQ, D)
+        # tiles stay in the INPUT dtype for the dots (MXU runs bf16 natively
+        # at full rate; an f32 upcast here costs ~4x MXU throughput) with
+        # f32 accumulation via preferred_element_type — flash-standard.
+        q = q_ref[0, :, h * d:(h + 1) * d]  # (BQ, D)
         block_q = q.shape[0]
         m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_q, 1), jnp.float32)
@@ -55,10 +58,8 @@ def _flash_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
         def body(i, carry):
             m, l, acc = carry
-            k = k_ref[0, pl.ds(i * block_k, block_k),
-                      h * d:(h + 1) * d].astype(jnp.float32)
-            v = v_ref[0, pl.ds(i * block_k, block_k),
-                      h * d:(h + 1) * d].astype(jnp.float32)
+            k = k_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
+            v = v_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # (BQ, BK)
@@ -70,7 +71,7 @@ def _flash_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc_new
 
@@ -300,7 +301,7 @@ def _flash_fwd_lse_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
     d = head_dim
 
     for h in range(num_heads):
-        q = q_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        q = q_ref[0, :, h * d:(h + 1) * d]  # input dtype: full MXU rate
         block_q = q.shape[0]
         m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_q, 1), jnp.float32)
@@ -308,10 +309,8 @@ def _flash_fwd_lse_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
 
         def body(i, carry):
             m, l, acc = carry
-            k = k_ref[0, pl.ds(i * block_k, block_k),
-                      h * d:(h + 1) * d].astype(jnp.float32)
-            v = v_ref[0, pl.ds(i * block_k, block_k),
-                      h * d:(h + 1) * d].astype(jnp.float32)
+            k = k_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
+            v = v_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
@@ -322,7 +321,7 @@ def _flash_fwd_lse_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc_new
 
@@ -340,18 +339,16 @@ def _flash_dq_kernel(k_hi_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     d = head_dim
 
     for h in range(num_heads):
-        q = q_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
-        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        q = q_ref[0, :, h * d:(h + 1) * d]   # input dtype: full MXU rate
+        do = do_ref[0, :, h * d:(h + 1) * d]
         lse = lse_ref[0, h, :][:, None]      # (BQ, 1)
         delta = delta_ref[0, h, :][:, None]  # (BQ, 1)
         block_q = q.shape[0]
         acc0 = jnp.zeros((block_q, d), jnp.float32)
 
         def body(i, acc):
-            k = k_ref[0, pl.ds(i * block_k, block_k),
-                      h * d:(h + 1) * d].astype(jnp.float32)
-            v = v_ref[0, pl.ds(i * block_k, block_k),
-                      h * d:(h + 1) * d].astype(jnp.float32)
+            k = k_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
+            v = v_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
@@ -361,7 +358,7 @@ def _flash_dq_kernel(k_hi_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (BQ, BK)
-            ds = p * (dp - delta)
+            ds = (p * (dp - delta)).astype(k.dtype)
             return acc + jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -379,18 +376,16 @@ def _flash_dkv_kernel(q_lo_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     d = head_dim
 
     for h in range(num_heads):
-        k_t = k_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)   # (BK, D)
-        v_t = v_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k_t = k_ref[0, :, h * d:(h + 1) * d]   # (BK, D), input dtype
+        v_t = v_ref[0, :, h * d:(h + 1) * d]
         block_k = k_t.shape[0]
         dk0 = jnp.zeros((block_k, d), jnp.float32)
         dv0 = jnp.zeros((block_k, d), jnp.float32)
 
         def body(j, carry):
             dk, dv = carry
-            q = q_ref[0, pl.ds(j * block_q, block_q),
-                      h * d:(h + 1) * d].astype(jnp.float32)
-            do = do_ref[0, pl.ds(j * block_q, block_q),
-                        h * d:(h + 1) * d].astype(jnp.float32)
+            q = q_ref[0, pl.ds(j * block_q, block_q), h * d:(h + 1) * d]
+            do = do_ref[0, pl.ds(j * block_q, block_q), h * d:(h + 1) * d]
             lse = lse_ref[0, h, pl.ds(j * block_q, block_q)][:, None]
             delta = delta_ref[0, h, pl.ds(j * block_q, block_q)][:, None]
             s = jax.lax.dot_general(
@@ -400,12 +395,12 @@ def _flash_dkv_kernel(q_lo_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             s = jnp.where(mask != 0, s, _NEG_INF)
             p = jnp.exp(s - lse)
             dv = dv + jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (BK, D)
             dp = jax.lax.dot_general(
                 do, v_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (BQ, BK)
-            ds = p * (dp - delta)
+            ds = (p * (dp - delta)).astype(q.dtype)
             dk = dk + jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -495,25 +490,43 @@ def _flash_native_bwd(mask_key, block_q, block_k, interpret, residuals, g):
 _flash_attention_vjp_native.defvjp(_flash_native_fwd, _flash_native_bwd)
 
 
-def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
-                    block_k: int = 128, interpret: bool = False,
-                    backward: str = "xla"):
+def _auto_blocks(s: int):
+    """Measured-on-v5e tile sizes (docs/KERNELS.md crossover study):
+    one fat tile for tiny sequences; K tiles of 512 beyond (fewer online-
+    softmax rescales per query tile and better VPU amortization dominate
+    tile-skip granularity)."""
+    ceil128 = 128 * -(-s // 128)
+    if s <= 256:
+        b = min(256, ceil128)
+        return b, b
+    if s <= 512:
+        return 128, 512
+    return 256, 512
+
+
+def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = None,
+                    block_k: int = None, interpret: bool = False,
+                    backward: str = "pallas"):
     """Masked multi-head attention: (B, S, H, D) -> (B, S, H, D).
 
     ``mask`` must be a *static* numpy bool (S, S) array — queries attend to
     keys where True.  Sequences are padded to tile multiples internally.
+    ``block_q``/``block_k`` default to measured-on-v5e auto sizes.
 
-    Differentiable.  ``backward='xla'`` (default) recomputes gradients
-    through the math-identical XLA attention — exact, but materializes
-    (B, H, S, S) weights in the backward.  ``backward='pallas'`` runs the
-    native flash backward kernels (dq and dk/dv passes with the saved
-    logsumexp) — never materializes the weights; preferred at long S.
+    Differentiable.  ``backward='pallas'`` (default) runs the native flash
+    backward kernels (dq and dk/dv passes with the saved logsumexp) — never
+    materializes the (B, H, S, S) weights; measured ~2x over the recompute
+    path at S>=1024 on v5e.  ``backward='xla'`` recomputes gradients through
+    the math-identical XLA attention instead.
     """
     if not isinstance(mask, np.ndarray):
         raise TypeError("flash_attention requires a static numpy mask")
     s = q.shape[1]
     if mask.shape != (s, s):
         raise ValueError(f"mask shape {mask.shape} != ({s}, {s})")
+    auto_q, auto_k = _auto_blocks(s)
+    block_q = block_q or auto_q
+    block_k = block_k or auto_k
     mask_key = _register_mask(mask)
     if backward == "pallas":
         return _flash_attention_vjp_native(q, k, v, mask_key, block_q,
@@ -529,9 +542,9 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = 128,
     return _flash_attention_vjp(q, k, v, mask_key, block_q, block_k)
 
 
-def make_attention_fn(mask: np.ndarray, *, block_q: int = 128,
-                      block_k: int = 128, interpret: bool = False,
-                      backward: str = "xla"):
+def make_attention_fn(mask: np.ndarray, *, block_q: int = None,
+                      block_k: int = None, interpret: bool = False,
+                      backward: str = "pallas"):
     """Adapter producing the ``attention_fn`` hook used by
     modules.attention.MultiHeadAttention."""
     def attention_fn(q, k, v, _mask_ignored=None):
