@@ -39,7 +39,7 @@ class ResNetV2Embedder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (N, p, p, C)
+    def __call__(self, x):  # (B, G, p, p, C) — G = frames * patches
         conv_kw = dict(
             use_bias=True,
             dtype=self.dtype,
@@ -48,6 +48,18 @@ class ResNetV2Embedder(nn.Module):
             bias_init=nn.initializers.normal(),
         )
         c = self.cfg
+        # GroupNorm statistic axes: 'image' scope pools over (G, h, w,
+        # group-channels) per batch element — bit-matching the reference's
+        # flax-default reduction on its (B, F, P, p, p, C) tensor; 'patch'
+        # pools over (h, w, group-channels) only.  flax Conv/max_pool treat
+        # all leading dims as batch, so keeping (B, G, ...) costs nothing.
+        if c.norm_stats_scope == "image":
+            norm_axes = None
+        elif c.norm_stats_scope == "patch":
+            norm_axes = (2, 3, -1)
+        else:
+            raise ValueError(
+                f"unknown norm_stats_scope {c.norm_stats_scope!r}")
         x = nn.Conv(c.features, c.input_kernel, strides=c.input_stride,
                     padding="VALID", name="input_conv", **conv_kw)(x)
         x = nn.max_pool(x, c.pool_window, strides=c.pool_stride,
@@ -57,6 +69,7 @@ class ResNetV2Embedder(nn.Module):
         for i in range(c.num_blocks):
             x = nn.GroupNorm(num_groups=c.group_norm_groups,
                              epsilon=c.group_norm_epsilon,
+                             reduction_axes=norm_axes,
                              dtype=self.dtype, param_dtype=self.param_dtype,
                              name=f"block{i}_norm")(x)
             x = nn.gelu(x)
@@ -64,7 +77,7 @@ class ResNetV2Embedder(nn.Module):
                         padding="SAME", name=f"block{i}_conv", **conv_kw)(x)
         x = x + residual
 
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(*x.shape[:2], -1)
         x = nn.Dense(c.output_features, dtype=self.dtype,
                      param_dtype=self.param_dtype,
                      kernel_init=nn.initializers.he_normal(),
@@ -97,12 +110,11 @@ class ImageTokenizer(nn.Module):
         # --- patchify: (B, F, P, p, p, C), normalized
         patches = patchify(images, p, cfg.normalize, dtype=self.dtype)
 
-        # --- per-patch conv embedding on one flat batch
-        flat = patches.reshape(b * f * num_patches, p, p, c)
+        # --- per-patch conv embedding, one (B, F*P) batched conv call
+        flat = patches.reshape(b, f * num_patches, p, p, c)
         emb = ResNetV2Embedder(cfg.resnet, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="resnet")(flat)
-        emb = emb.reshape(b, f * num_patches, cfg.resnet.output_features)
 
         # --- patch position tokens
         if train:

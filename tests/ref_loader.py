@@ -82,6 +82,63 @@ def load_ref_attention():
     return mod
 
 
+def load_ref_octo():
+    """Import the reference's WHOLE package (models.octo.octo) so its full
+    Octo model can be executed end-to-end.
+
+    Needs four shims, none of which alter reference behavior:
+    * hydra/omegaconf — working ``instantiate``/``call`` (hydra_shim);
+    * ``wandb`` / ``sentencepiece`` — inert import-time stubs (wandb.log is
+      only reached from the un-jitted train steps, which we don't call);
+    * ``flax.struct.dataclass`` — reference ``TokenEmbeddings`` declares
+      mutable ``jnp.array`` defaults (token_sequencer.py:342-346), a hard
+      error on Python 3.12; we rewrite such defaults into
+      ``default_factory`` fields and then apply the REAL struct.dataclass,
+      so the class behaves exactly as intended.
+    """
+    _ensure_ref_path()
+    name = "multi_modal_transformers.models.octo.octo"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    import hydra_shim
+    hydra_shim.install()
+    for mod_name, attrs in (("wandb", {"log": lambda *a, **k: None}),
+                            ("sentencepiece", {})):
+        if mod_name not in sys.modules:
+            m = types.ModuleType(mod_name)
+            # a real ModuleSpec so importlib.util.find_spec (used by
+            # transformers' import scanner) accepts the stub
+            m.__spec__ = importlib.machinery.ModuleSpec(mod_name, loader=None)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[mod_name] = m
+
+    import dataclasses as dc
+
+    import flax.struct as fs
+    import jax
+
+    orig = fs.dataclass
+
+    def patched(cls=None, **kw):
+        if cls is None:
+            return lambda c: patched(c, **kw)
+        for fname in list(getattr(cls, "__annotations__", {})):
+            v = getattr(cls, fname, None)
+            if isinstance(v, jax.Array):
+                setattr(cls, fname,
+                        dc.field(default_factory=lambda v=v: v))
+        return orig(cls, **kw)
+
+    fs.dataclass = patched
+    try:
+        mod = importlib.import_module(name)
+    finally:
+        fs.dataclass = orig
+    return mod
+
+
 def load_ref_token_compression():
     _ensure_ref_path()
     name = "_ref_token_compression"

@@ -1,0 +1,466 @@
+"""END-TO-END fidelity: the reference's WHOLE Octo model — its actual
+``models/octo/octo.py`` code, executed via the hydra shim with the *intended*
+config shape (SURVEY.md §2.9) — against our Octo with parameters mapped
+across.  Asserts |Δ| ≤ 1e-3 (BASELINE's central fidelity claim) on:
+
+* ``generate_readouts``            (the full backbone)
+* ``predict_continuous_action``    (reference: octo.py:158-165)
+* ``predict_action_logits``        (reference: octo.py:178-185)
+* ``predict_diffusion_denoise_term`` (reference: octo.py:130-137)
+* the full 32-step (here 4-step) DDPM sampler at the head level
+  (reference: action_heads/diffusion.py:146-209), under
+  ``sampler_rng_mode='reference'``.
+
+Determinism: the reference hard-codes ``train=True`` into its image
+tokenizer / attention-block calls (octo.py:100,120), so its stochastic
+patch-position sampling always runs.  We choose geometry where every
+quantized position interval has width exactly 1
+(``position_interval = H/patch + 1``), making sampled == midpoint == start —
+bit-identical across implementations and rng schemes — and set every
+dropout rate to 0.0.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.core.config import (
+    AttentionConfig,
+    CategoricalHeadConfig,
+    ContinuousHeadConfig,
+    DiffusionHeadConfig,
+    HeadsConfig,
+    ImageTokenizerConfig,
+    OctoConfig,
+    ResNetEmbedderConfig,
+    TextEncoderConfig,
+    TransformerConfig,
+)
+from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+
+from hydra_shim import AttrDict
+from ref_loader import load_ref_octo
+
+# geometry (see docstring for why position_interval = 64/32 + 1 = 3)
+E, HEADS, MLP = 32, 2, 64
+IMG, PATCH, PI = 64, 32, 3
+FRAMES, B = 2, 2
+A, BINS, MAX_ACTION = 8, 16, 2.0
+TEXT_LEN, VOCAB = 4, 64
+NUM_BLOCKS = 2
+DIFF_STEPS, TIME_DIM, DENOISE_MLP = 4, 16, 32
+
+SEQ = "[TaskDescriptionPrefix{4}] [Image{4};Readout{4}]*2"
+
+
+def _dense(features):
+    return {"_target_": "flax.linen.Dense", "features": features,
+            "kernel_init": {"_target_": "flax.linen.initializers.he_normal"},
+            "use_bias": True,
+            "bias_init": {"_target_": "flax.linen.initializers.normal"}}
+
+
+def _embed(num, features):
+    return {"_target_": "flax.linen.Embed", "num_embeddings": num,
+            "features": features}
+
+
+def _mlp_block(hidden, out):
+    return {"_target_":
+            "multi_modal_transformers.attention_blocks.attention.MLPBlock",
+            "dense": _dense(hidden),
+            "activation": {"_partial_": True, "_target_": "flax.linen.relu"},
+            "norm": {"_target_": "flax.linen.Dropout", "rate": 0.0},
+            "dense_out": _dense(out)}
+
+
+def _encoder_1d_block():
+    return {
+        "layer_norm": {"_target_": "flax.linen.LayerNorm", "epsilon": 1e-6,
+                       "reduction_axes": [1], "feature_axes": [-1]},
+        "dropout": {"_target_": "flax.linen.Dropout", "rate": 0.0},
+        # committed yaml names flax.linen.SelfAttention; called as
+        # (x, x, mask=...) — the MultiHeadDotProductAttention signature
+        # (identical params/math for self-attention)
+        "self_attention": {
+            "_target_": "flax.linen.MultiHeadDotProductAttention",
+            "num_heads": HEADS, "qkv_features": E, "dropout_rate": 0.0,
+            "decode": False,
+            "kernel_init": {"_target_": "flax.linen.initializers.he_normal"},
+            "use_bias": True,
+            "bias_init": {"_target_": "flax.linen.initializers.normal"}},
+        "mlp_block": _mlp_block(MLP, E),
+    }
+
+
+def _ref_image_encoder():
+    return {
+        "_target_": ("multi_modal_transformers.tokenizers.images."
+                     "image_tokenizer.ImageTokenizer"),
+        "image_size": (IMG, IMG, 3),  # tuple: the == check vs shape[-3:]
+        "patch_size": PATCH, "normalize": True, "position_interval": PI,
+        "rng_collection": "patch_encoding", "embedding_dim": E,
+        "row_position_embedding": _embed(PI, E),
+        "col_position_embedding": _embed(PI, E),
+        "resnet": {
+            "_target_": ("multi_modal_transformers.tokenizers.images."
+                         "image_tokenizer.ResNetV2Block"),
+            "num_blocks": 1,
+            "input_conv": {"_target_": "flax.linen.Conv", "features": 8,
+                           "kernel_size": (8, 8), "strides": (4, 4),
+                           "padding": "VALID", "use_bias": True,
+                           "kernel_init": {"_target_":
+                                           "flax.linen.initializers.he_normal"},
+                           "bias_init": {"_target_":
+                                         "flax.linen.initializers.normal"}},
+            "input_pool": {"_target_": "flax.linen.max_pool",
+                           "_partial_": True, "window_shape": (3, 3),
+                           "strides": (1, 1), "padding": "VALID"},
+            "resnet_norm": {"_target_": "flax.linen.GroupNorm",
+                            "num_groups": 4, "epsilon": 1e-6},
+            "resnet_activation": {"_partial_": True,
+                                  "_target_": "flax.linen.gelu"},
+            "resnet_conv": {"_target_": "flax.linen.Conv", "features": 8,
+                            "kernel_size": (3, 3), "strides": (1, 1),
+                            "padding": "SAME", "use_bias": True,
+                            "kernel_init": {"_target_":
+                                            "flax.linen.initializers.he_normal"},
+                            "bias_init": {"_target_":
+                                          "flax.linen.initializers.normal"}},
+            "output_dense": _dense(E),
+        },
+    }
+
+
+def _ref_diffusion_head():
+    return {
+        "_target_": ("multi_modal_transformers.action_heads.diffusion."
+                     "DiffusionActionHead"),
+        "diffusion_steps": DIFF_STEPS, "rng_collection": "diffusion",
+        "attention_pooling": None,
+        "denoising_model": {
+            "_target_": ("multi_modal_transformers.action_heads.diffusion."
+                         "OctoDenoise"),
+            "num_blocks": 1,
+            "time_encoder": {
+                "_target_": ("multi_modal_transformers.action_heads."
+                             "diffusion.FourierFeatures"),
+                "output_dim": TIME_DIM,
+                "kernel_init": {"_target_":
+                                "flax.linen.initializers.he_normal"},
+                "mlp_block": _mlp_block(DENOISE_MLP, TIME_DIM)},
+            "mlp_block": _mlp_block(DENOISE_MLP, A)},
+    }
+
+
+def _ref_config():
+    """The *intended* reference config shape (SURVEY.md §2.9: the committed
+    YAML and octo.py disagree; this is the shape octo.py actually reads)."""
+    return AttrDict.deep({
+        "input_sequence": SEQ,
+        "num_observation_blocks": FRAMES,
+        "tokens_per_readout": 4,
+        "token_embedding_dim": E,
+        "tokenizers": {
+            "text": {"encoder": {
+                "_target_": ("multi_modal_transformers.tokenizers.text."
+                             "text_tokenizer.BasicTextTokenizer"),
+                "config": {"text_embedding": _embed(VOCAB, E),
+                           "text_position_embedding": _embed(TEXT_LEN, E)}}},
+            "images": {"encoder": _ref_image_encoder()},
+            "readouts": {"encoder": {
+                "_target_": ("multi_modal_transformers.tokenizers.readout."
+                             "readout.AddPositionEmbedding"),
+                "posemb_init": {"_target_": "flax.linen.initializers.normal",
+                                "stddev": 0.02}}},
+        },
+        "attention_blocks": {"stacked_encoder_1d_block": {
+            "_target_": ("multi_modal_transformers.attention_blocks."
+                         "attention.StackedEncoder1DBlock"),
+            "num_blocks": NUM_BLOCKS,
+            "encoder_1d_block": _encoder_1d_block()}},
+        "action_heads": {
+            "action_space_dim": A, "num_bins": BINS, "max_action": MAX_ACTION,
+            "heads": [
+                {"name": "continuous_action_head",
+                 "module": {"_target_":
+                            ("multi_modal_transformers.action_heads."
+                             "continuous.ContinuousActionHead"),
+                            "max_action": MAX_ACTION,
+                            "attention_pooling": None,
+                            "dense": _dense(A)}},
+                {"name": "categorical_action_head",
+                 "module": {"_target_":
+                            ("multi_modal_transformers.action_heads."
+                             "categorical.CategoricalActionHead"),
+                            "num_bins": BINS, "max_action": MAX_ACTION,
+                            "action_space_dim": A, "dense": _dense(BINS)}},
+                {"name": "diffusion_action_head",
+                 "module": _ref_diffusion_head()},
+            ]},
+    })
+
+
+def _our_config():
+    return OctoConfig(
+        input_sequence=SEQ,
+        token_embedding_dim=E,
+        num_observation_blocks=FRAMES,
+        tokens_per_readout=4,
+        text=TextEncoderConfig(kind="embed", vocab_size=VOCAB,
+                               max_length=TEXT_LEN, embedding_dim=E),
+        images=ImageTokenizerConfig(
+            image_size=(IMG, IMG, 3), patch_size=PATCH,
+            position_interval=PI, embedding_dim=E,
+            resnet=ResNetEmbedderConfig(
+                num_blocks=1, features=8, input_kernel=(8, 8),
+                input_stride=(4, 4), group_norm_groups=4,
+                output_features=E, norm_stats_scope="image")),
+        transformer=TransformerConfig(
+            num_blocks=NUM_BLOCKS,
+            attention=AttentionConfig(num_heads=HEADS, qkv_features=E,
+                                      dropout_rate=0.0),
+            mlp_dim=MLP, dropout_rate=0.0,
+            layer_norm_reduction="sequence_compat"),
+        heads=HeadsConfig(
+            continuous=ContinuousHeadConfig(max_action=MAX_ACTION,
+                                            action_space_dim=A),
+            categorical=CategoricalHeadConfig(num_bins=BINS,
+                                              max_action=MAX_ACTION,
+                                              action_space_dim=A),
+            diffusion=DiffusionHeadConfig(
+                diffusion_steps=DIFF_STEPS, action_space_dim=A,
+                time_dim=TIME_DIM, mlp_dim=DENOISE_MLP, num_blocks=1,
+                dropout_rate=0.0, sampler_rng_mode="reference")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parameter mapping: reference tree -> our tree
+# ---------------------------------------------------------------------------
+
+def _only(tree, prefix):
+    """The unique key starting with ``prefix`` (auto-numbered flax names)."""
+    keys = [k for k in tree if k.startswith(prefix)]
+    assert len(keys) == 1, (prefix, sorted(tree))
+    return tree[keys[0]]
+
+
+def _map_denoiser(ref):
+    """Reference OctoDenoise -> our split-projection OctoDenoise.
+
+    The reference's first MLP layer acts on
+    ``concat([noisy (A), time_emb (TIME_DIM), readout (E)])``
+    (diffusion.py:61); our first layer splits that kernel by source rows —
+    the identical affine map (heads/diffusion.py module docstring)."""
+    fourier = ref["time_encoder"]
+    block = ref["mlp_block"]
+    k0 = block["dense"]["kernel"]
+    assert k0.shape[0] == A + TIME_DIM + E, k0.shape
+    return {
+        "time_encoder": {
+            "fourier_kernel": fourier["fourier_kernel"],
+            "mlp": {"dense_in": fourier["mlp_block"]["dense"],
+                    "dense_out": fourier["mlp_block"]["dense_out"]},
+        },
+        "noisy_proj": {"kernel": k0[:A], "bias": block["dense"]["bias"]},
+        "time_proj": {"kernel": k0[A:A + TIME_DIM]},
+        "readout_proj": {"kernel": k0[A + TIME_DIM:]},
+        "first_out": block["dense_out"],
+    }
+
+
+def _map_params(ref):
+    """Full reference Octo param tree -> our Octo param tree.
+
+    Reference names come from the shim's pre-built module instances (flax
+    names modules by the dataclass attribute they live on), with the scanned
+    encoder block's MLP denses landing flat in the block scope."""
+    resnet = ref["image_encoder"]["resnet"]
+    stack = _only(ref["attention_blocks"], "ScanEncoder1DBlock")
+    attn = stack["MultiHeadDotProductAttention_0"]
+    return {
+        "text_encoder": {
+            "token_embedding": ref["text_encoder"]["embedding"],
+            "position_embedding": ref["text_encoder"]["position_embedding"],
+        },
+        "image_encoder": {
+            "resnet": {
+                "input_conv": resnet["input_conv"],
+                "block0_norm": resnet["resnet_norm"],
+                "block0_conv": resnet["resnet_conv"],
+                "output_dense": resnet["output_dense"],
+            },
+            "row_position_embedding":
+                ref["image_encoder"]["row_position_embedding"],
+            "col_position_embedding":
+                ref["image_encoder"]["col_position_embedding"],
+        },
+        "readout_encoder": {
+            "pos_embedding":
+                ref["readout_encoder"]["pos_embedding"],
+        },
+        "transformer": {
+            "posembed_input": ref["attention_blocks"]["posembed_input"],
+            "blocks": {
+                "ln_attention": stack["LayerNorm_0"],
+                "ln_mlp": stack["LayerNorm_1"],
+                "attention": {"query": attn["query"], "key": attn["key"],
+                              "value": attn["value"], "out": attn["out"]},
+                "mlp": {"dense_in": stack["Dense_0"],
+                        "dense_out": stack["Dense_1"]},
+            },
+        },
+        "continuous_action_head": {
+            "mean": ref["continuous_action_head"]["dense"]},
+        "categorical_action_head": {
+            "logits": ref["categorical_action_head"]["dense"]},
+        "diffusion_action_head": {
+            "denoiser": _map_denoiser(
+                ref["diffusion_action_head"]["denoising_model"])},
+    }
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def models():
+    ref_octo = load_ref_octo()
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    rngs = {"params": keys[0], "patch_encoding": keys[1],
+            "dropout": keys[2], "diffusion": keys[3]}
+
+    text = (jnp.arange(B * TEXT_LEN, dtype=jnp.int32).reshape(B, TEXT_LEN)
+            * 7) % VOCAB
+    images = jnp.asarray(
+        np.linspace(0.0, 255.0, B * FRAMES * IMG * IMG * 3,
+                    dtype=np.float32).reshape(B, FRAMES, IMG, IMG, 3))
+    time = jnp.ones((B, 1))
+    noisy = jnp.asarray(
+        np.linspace(-1.0, 1.0, B * A, dtype=np.float32).reshape(B, A))
+
+    ref_model = ref_octo.Octo(_ref_config())
+    # the reference inits per method (octo.py:334-370): each tree holds the
+    # backbone + one head; backbone params are path-keyed, hence identical
+    ref_d = ref_model.init(rngs, text, images, time, noisy,
+                           method="predict_diffusion_denoise_term")["params"]
+    ref_c = ref_model.init(rngs, text, images,
+                           method="predict_continuous_action")["params"]
+    ref_k = ref_model.init(rngs, text, images,
+                           method="predict_action_logits")["params"]
+    ref_params = dict(ref_d)
+    ref_params["continuous_action_head"] = ref_c["continuous_action_head"]
+    ref_params["categorical_action_head"] = ref_k["categorical_action_head"]
+
+    ours_model = Octo(_our_config())
+    ours_init = ours_model.init(rngs, text, images)["params"]
+    mapped = _map_params(ref_params)
+    # every leaf must exist with the same shape (catches mapping drift)
+    jax.tree.map(lambda a, b: (np.testing.assert_array_equal(
+        np.shape(a), np.shape(b))), ours_init, mapped)
+
+    return dict(ref_octo=ref_octo, ref_model=ref_model,
+                ref_params=ref_params, ours_model=ours_model,
+                ours_params=mapped, text=text, images=images, time=time,
+                noisy=noisy, keys=keys)
+
+
+def _ref_apply(m, method, *args):
+    return m["ref_model"].apply(
+        {"params": m["ref_params"]}, *args, method=method,
+        rngs={"patch_encoding": m["keys"][1], "dropout": m["keys"][2],
+              "diffusion": m["keys"][3]})
+
+
+def _our_apply(m, method, *args):
+    return m["ours_model"].apply({"params": m["ours_params"]}, *args,
+                                 method=method)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_generate_readouts_matches_reference(models):
+    ref = _ref_apply(models, "generate_readouts",
+                     models["text"], models["images"])
+    ours = _our_apply(models, "generate_readouts",
+                      models["text"], models["images"])
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_continuous_action_matches_reference(models):
+    ref = _ref_apply(models, "predict_continuous_action",
+                     models["text"], models["images"])
+    ours = _our_apply(models, "predict_continuous_action",
+                      models["text"], models["images"])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_action_logits_match_reference(models):
+    ref = _ref_apply(models, "predict_action_logits",
+                     models["text"], models["images"])
+    ours = _our_apply(models, "predict_action_logits",
+                      models["text"], models["images"])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_diffusion_denoise_term_matches_reference(models):
+    ref = _ref_apply(models, "predict_diffusion_denoise_term",
+                     models["text"], models["images"], models["time"],
+                     models["noisy"])
+    ours = _our_apply(models, "predict_diffusion_denoise_term",
+                      models["text"], models["images"], models["time"],
+                      models["noisy"])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_full_ddpm_sampler_matches_reference(models):
+    """The complete reverse-diffusion sampler, reference code vs ours in
+    ``sampler_rng_mode='reference'``, same readouts + same rng: identical
+    make_rng derivation at the root module means identical initial noise AND
+    identical per-step noise (the reference reuses its keys each step,
+    diffusion.py:178 — our 'reference' mode replicates that)."""
+    import multi_modal_transformers.action_heads.diffusion as ref_diff
+
+    from multi_modal_transformers_tokenmerge_tpu.heads.diffusion import (
+        DiffusionActionHead)
+
+    readouts = jax.random.normal(jax.random.PRNGKey(3), (B, 8, E))
+    key = jax.random.PRNGKey(11)
+
+    ref_head_cfg = AttrDict.deep(_ref_diffusion_head())
+    ref_head_cfg.pop("_target_")
+    ref_head = ref_diff.DiffusionActionHead(**{
+        k: v for k, v in ref_head_cfg.items()})
+    # standalone, setup's instantiate names the denoiser by its setup
+    # attribute ('denoiser'); the full-model tree stored it under the
+    # pre-built instance's config attr ('denoising_model')
+    ref_params = {"denoiser":
+                  models["ref_params"]["diffusion_action_head"]
+                  ["denoising_model"]}
+    ref_actions = ref_head.apply({"params": ref_params}, readouts,
+                                 method="predict_action",
+                                 rngs={"diffusion": key})
+
+    our_cfg = _our_config().heads.diffusion
+    our_head = DiffusionActionHead(our_cfg)
+    our_params = models["ours_params"]["diffusion_action_head"]
+    our_actions = our_head.apply({"params": our_params}, readouts,
+                                 method="predict_action",
+                                 rngs={"diffusion": key})
+
+    assert our_actions.shape == ref_actions.shape
+    np.testing.assert_allclose(np.asarray(our_actions),
+                               np.asarray(ref_actions),
+                               rtol=1e-3, atol=1e-4)
