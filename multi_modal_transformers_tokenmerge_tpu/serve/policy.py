@@ -39,7 +39,12 @@ class PolicyEngine:
 
     def __init__(self, model, variables, head: str = "diffusion",
                  batch_size: int = 1, rng: Optional[jax.Array] = None,
-                 cache_text: bool = True):
+                 cache_text: bool = True, tokenizer=None):
+        """``tokenizer``: optional callable mapping a list of instruction
+        strings to an (B, T) int32 id array — e.g.
+        ``utils.spm.T5StyleTokenizer`` over a local t5 sentencepiece model,
+        or ``modules.text.WordTokenizer`` (reference tokenizes outside the
+        model the same way, octo.py:402-409)."""
         if head not in _PREDICT_METHODS:
             raise ValueError(
                 f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
@@ -55,6 +60,7 @@ class PolicyEngine:
         self.head = head
         self.batch_size = batch_size
         self.cache_text = cache_text
+        self.tokenizer = tokenizer
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._step = 0
         self._compiled = None
@@ -67,12 +73,28 @@ class PolicyEngine:
 
     # -- instruction caching ----------------------------------------------
 
-    def set_instruction(self, text_tokens) -> "PolicyEngine":
+    def set_instruction(self, text) -> "PolicyEngine":
         """Encode and cache the instruction's text-tower embeddings; later
-        calls skip the text tower entirely."""
+        calls skip the text tower entirely.  Accepts pre-tokenized ids, a
+        raw string, or a list of strings (string input needs ``tokenizer``).
+        """
         self._text_embeddings = self._encode_text_fn()(
-            self.variables, jnp.asarray(text_tokens))
+            self.variables, jnp.asarray(self._tokenize(text)))
         return self
+
+    def _tokenize(self, text):
+        if isinstance(text, str) or (
+                isinstance(text, (list, tuple)) and text
+                and isinstance(text[0], str)):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "string instruction given but no tokenizer configured; "
+                    "pass tokenizer= (e.g. utils.spm.T5StyleTokenizer) or "
+                    "pre-tokenized ids")
+            if isinstance(text, str):
+                text = [text] * self.batch_size
+            return self.tokenizer(list(text))
+        return text
 
     def _encode_text_fn(self):
         if "encode_text" not in self._jit_cache:
@@ -144,6 +166,8 @@ class PolicyEngine:
         self._step += 1
         rngs = {"diffusion": key} if self.head == "diffusion" else None
 
+        if text_tokens is not None:
+            text_tokens = jnp.asarray(self._tokenize(text_tokens))
         if text_tokens is None:
             if self._text_embeddings is None:
                 raise ValueError(
