@@ -154,11 +154,11 @@ def _ref_diffusion_head():
     }
 
 
-def _ref_config():
+def _ref_config(seq=SEQ):
     """The *intended* reference config shape (SURVEY.md §2.9: the committed
     YAML and octo.py disagree; this is the shape octo.py actually reads)."""
     return AttrDict.deep({
-        "input_sequence": SEQ,
+        "input_sequence": seq,
         "num_observation_blocks": FRAMES,
         "tokens_per_readout": 4,
         "token_embedding_dim": E,
@@ -202,9 +202,9 @@ def _ref_config():
     })
 
 
-def _our_config():
+def _our_config(seq=SEQ):
     return OctoConfig(
-        input_sequence=SEQ,
+        input_sequence=seq,
         token_embedding_dim=E,
         num_observation_blocks=FRAMES,
         tokens_per_readout=4,
@@ -326,8 +326,7 @@ def _map_params(ref):
 # fixtures
 # ---------------------------------------------------------------------------
 
-@pytest.fixture(scope="module")
-def models():
+def _build_models(seq):
     ref_octo = load_ref_octo()
     keys = jax.random.split(jax.random.PRNGKey(7), 4)
     rngs = {"params": keys[0], "patch_encoding": keys[1],
@@ -342,7 +341,7 @@ def models():
     noisy = jnp.asarray(
         np.linspace(-1.0, 1.0, B * A, dtype=np.float32).reshape(B, A))
 
-    ref_model = ref_octo.Octo(_ref_config())
+    ref_model = ref_octo.Octo(_ref_config(seq))
     # the reference inits per method (octo.py:334-370): each tree holds the
     # backbone + one head; backbone params are path-keyed, hence identical
     ref_d = ref_model.init(rngs, text, images, time, noisy,
@@ -355,7 +354,7 @@ def models():
     ref_params["continuous_action_head"] = ref_c["continuous_action_head"]
     ref_params["categorical_action_head"] = ref_k["categorical_action_head"]
 
-    ours_model = Octo(_our_config())
+    ours_model = Octo(_our_config(seq))
     ours_init = ours_model.init(rngs, text, images)["params"]
     mapped = _map_params(ref_params)
     # every leaf must exist with the same shape (catches mapping drift)
@@ -366,6 +365,22 @@ def models():
                 ref_params=ref_params, ours_model=ours_model,
                 ours_params=mapped, text=text, images=images, time=time,
                 noisy=noisy, keys=keys)
+
+
+@pytest.fixture(scope="module")
+def models():
+    return _build_models(SEQ)
+
+
+# causal-Text variant: a standalone Text set (causal intra-attention,
+# reference: token_sequencer.py:55-92) flowing through the FULL model —
+# the reference-exact path no committed preset exercises
+SEQ_TEXT = "[Text{4}] [Image{4};Readout{4}]*2"
+
+
+@pytest.fixture(scope="module")
+def models_text():
+    return _build_models(SEQ_TEXT)
 
 
 def _ref_apply(m, method, *args):
@@ -422,6 +437,22 @@ def test_diffusion_denoise_term_matches_reference(models):
                       models["noisy"])
     assert ours.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_causal_text_set_matches_reference_end_to_end(models_text):
+    """Full model with a standalone causal ``Text{N}`` set: masks AND
+    activations must match the reference end-to-end."""
+    m = models_text
+    ref = _ref_apply(m, "generate_readouts", m["text"], m["images"])
+    ours = _our_apply(m, "generate_readouts", m["text"], m["images"])
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+    ref_a = _ref_apply(m, "predict_continuous_action",
+                       m["text"], m["images"])
+    ours_a = _our_apply(m, "predict_continuous_action",
+                        m["text"], m["images"])
+    np.testing.assert_allclose(np.asarray(ours_a), np.asarray(ref_a),
                                rtol=1e-3, atol=1e-4)
 
 
