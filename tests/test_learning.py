@@ -39,7 +39,7 @@ def test_pipeline_learns_image_signal():
         {"params": keys[0], "patch_encoding": keys[1],
          "dropout": keys[2], "diffusion": keys[3]}, text, images)
     state = create_train_state(
-        model, variables, optax.adam(3e-4),
+        model, variables, optax.adam(1e-3),
         rngs={"dropout": keys[2], "patch_encoding": keys[1]})
     step = make_train_step("continuous")
 
@@ -54,7 +54,7 @@ def test_pipeline_learns_image_signal():
         return float(jnp.mean(jnp.square(pred - actions_ev)))
 
     initial = eval_mse(jax.tree.map(jnp.array, state.params))
-    for i in range(120):
+    for i in range(160):
         text_b, images_b, actions_b = _make_batch(rng, 16)
         state, loss = step(state, text_b, images_b, actions_b)
     final = eval_mse(state.params)
