@@ -21,6 +21,8 @@ from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
 from micro_configs import octo_micro_tome
 
 
+pytestmark = pytest.mark.slow
+
 def _stack_cfg(num_blocks, k):
     return TransformerConfig(
         num_blocks=num_blocks,

@@ -3,6 +3,7 @@ transformer -> head) must learn a synthetic image->action mapping, i.e.
 generalize to unseen images — not just drive the loss down on constants."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -15,6 +16,8 @@ from multi_modal_transformers_tokenmerge_tpu.train.steps import make_train_step
 
 from micro_configs import octo_micro
 
+
+pytestmark = pytest.mark.slow
 
 def _make_batch(rng, batch):
     """Action dim 0/1 encode the mean brightness of the image's left/right

@@ -4,6 +4,7 @@ and the legacy model family."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multi_modal_transformers_tokenmerge_tpu.models.legacy import (
     ConceptLearnerConfig,
@@ -33,6 +34,8 @@ from multi_modal_transformers_tokenmerge_tpu.modules.value_tokenizer import (
 
 
 # ---- point cloud ----------------------------------------------------------
+
+pytestmark = pytest.mark.slow
 
 def test_pairwise_sq_dist():
     rng = np.random.default_rng(0)

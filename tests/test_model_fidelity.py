@@ -42,6 +42,8 @@ from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
 from hydra_shim import AttrDict
 from ref_loader import load_ref_octo
 
+pytestmark = pytest.mark.slow
+
 # geometry (see docstring for why position_interval = 64/32 + 1 = 3)
 E, HEADS, MLP = 32, 2, 64
 IMG, PATCH, PI = 64, 32, 3

@@ -23,6 +23,8 @@ from multi_modal_transformers_tokenmerge_tpu.train.steps import make_train_step
 from micro_configs import octo_micro
 
 
+pytestmark = pytest.mark.slow
+
 def _setup(batch, tx=None):
     cfg = octo_micro()
     model = Octo(cfg)

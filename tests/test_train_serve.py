@@ -20,6 +20,8 @@ from multi_modal_transformers_tokenmerge_tpu.train.steps import make_train_step
 from micro_configs import octo_micro
 
 
+pytestmark = pytest.mark.slow
+
 def _fresh_variables(variables):
     """Deep-copy params: jitted train steps donate the state, invalidating
     the original buffers — each test needs its own copy."""
