@@ -246,8 +246,12 @@ def main():
         detail["serving_b1"] = bench_serving_b1(models["ours_bf16"], peak)
         detail["train"] = bench_train(configs["ours_bf16"], images_stack,
                                       text, peak)
+        detail["int8_text_tower"] = bench_int8_text(
+            models["ours_bf16"], images_stack, text, peak,
+            results["ours_bf16"])
         if not MULTICAM:
             detail["flash_attention_s1024"] = bench_flash(peak)
+            detail["attention_op_s1024"] = bench_flash_op(peak)
 
     ours = results["ours_bf16_tome"]
     base = results["baseline_f32"]
@@ -289,6 +293,51 @@ def bench_serving_b1(model_vars, peak):
             log("[bench] FATAL: serving_b1 exceeds peak FLOP/s")
             raise SystemExit(1)
     log(f"[bench] serving_b1: p50 {sec*1e3:.2f} ms")
+    return out
+
+
+def bench_int8_text(model_vars, images_stack, text, peak, bf16_entry):
+    """obs->action with the frozen T5 tower int8-quantized
+    (serve/quantize.py): text encoded per call via int8 MXU dots, rest of
+    the model unchanged via the *_with_text method.  Opt-in serving mode."""
+    from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
+        quantize_t5_params, t5_encode_int8)
+
+    model, variables = model_vars
+    tcfg = model.config.text
+    if tcfg.kind != "t5":
+        return {"skipped": "text tower is not t5"}
+    qp = quantize_t5_params(variables["params"]["text_encoder"]["t5_encoder"])
+
+    def step(i, variables, qp, text, images_stack, key):
+        img = jax.lax.dynamic_index_in_dim(images_stack,
+                                           i % images_stack.shape[0],
+                                           keepdims=False)
+        emb = t5_encode_int8(
+            qp, text, rel_pos_buckets=tcfg.t5_rel_pos_buckets,
+            rel_pos_max_distance=tcfg.t5_rel_pos_max_distance,
+            dtype=model.config.compute_dtype)
+        rngs = {"diffusion": jax.random.fold_in(key, i)}
+        out = model.apply(variables, emb, img, rngs=rngs,
+                          method="predict_diffusion_action_with_text")
+        return jnp.sum(out.astype(jnp.float32))
+
+    key = jax.random.PRNGKey(9)
+    sec = sec_per_call(build_loop(step),
+                       (variables, qp, text, images_stack, key),
+                       "int8_text_tower")
+    out = {"ms_per_call": round(sec * 1e3, 3),
+           "inf_per_sec": round(BATCH / sec, 1),
+           "speedup_vs_bf16_tower": round(
+               bf16_entry["ms_per_call"] / (sec * 1e3), 3)}
+    if peak:
+        # FLOP floor from the bf16 variant's count (int8 does the same math)
+        flops = (bf16_entry.get("gflops_per_call") or 0) * 1e9
+        if flops and flops / sec > 2 * peak:  # int8 peak = 2x bf16 on v5e
+            log("[bench] FATAL: int8 variant exceeds int8 peak")
+            raise SystemExit(1)
+    log(f"[bench] int8_text: {BATCH/sec:.0f} inf/s ({sec*1e3:.2f} ms/call, "
+        f"{out['speedup_vs_bf16_tower']}x vs bf16 tower)")
     return out
 
 
@@ -441,6 +490,81 @@ def bench_flash(peak, blocks=12, batch=8):
     out["pallas_backward_speedup_vs_recompute"] = round(
         bwd["flash_xla"] / bwd["flash_pallas"], 3)
     log(f"[bench] flash@{s}: fwd {out['forward_ms']} train {out['train_ms']}")
+    return out
+
+
+def bench_flash_op(peak, batch=8, heads=12, head_dim=64):
+    """Isolated attention op at S=1024 under the 5-camera block-causal mask:
+    the kernel's own margin, undiluted by the MLP/projection FLOPs that
+    dominate a whole stack (attention is ~18% of stack FLOPs at S=1024)."""
+    from multi_modal_transformers_tokenmerge_tpu.ops.flash_attention import (
+        flash_attention)
+    from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
+        SequenceLayout)
+
+    layout = SequenceLayout.from_strings(
+        "[TaskDescriptionPrefix{16}] "
+        "[Image{100};Image{100};Image{100};Image{100};Image{100};"
+        "Readout{4}]*2")
+    s = layout.total_tokens
+    mask_np = layout.attention_mask()
+    mask = jnp.asarray(mask_np)
+    qkv = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(i),
+                          (batch, s, heads, head_dim), dtype=jnp.bfloat16)
+        for i in range(N_INPUTS)])
+
+    def xla_attn(q, m):
+        return jax.nn.dot_product_attention(q, q, q, mask=m[None, None])
+
+    out = {"seq": s, "batch": batch, "heads": heads,
+           "mask_density": round(float(mask_np.mean()), 3)}
+
+    def xla_step(i, qkv, mask):
+        q = jax.lax.dynamic_index_in_dim(qkv, i % qkv.shape[0],
+                                         keepdims=False)
+        return jnp.sum(xla_attn(q, mask).astype(jnp.float32))
+
+    def flash_step(i, qkv):
+        q = jax.lax.dynamic_index_in_dim(qkv, i % qkv.shape[0],
+                                         keepdims=False)
+        return jnp.sum(flash_attention(q, q, q, mask_np).astype(jnp.float32))
+
+    fwd_xla = sec_per_call(build_loop(xla_step), (qkv, mask), "attnop_xla")
+    fwd_flash = sec_per_call(build_loop(flash_step), (qkv,), "attnop_flash")
+    out["forward_ms"] = {"xla": round(fwd_xla * 1e3, 3),
+                         "flash": round(fwd_flash * 1e3, 3)}
+    out["forward_flash_speedup"] = round(fwd_xla / fwd_flash, 3)
+
+    def xla_grad_step(i, qkv, mask):
+        q = jax.lax.dynamic_index_in_dim(qkv, i % qkv.shape[0],
+                                         keepdims=False)
+        g = jax.grad(lambda q: jnp.mean(
+            jnp.square(xla_attn(q, mask).astype(jnp.float32))))(q)
+        return jnp.sum(g.astype(jnp.float32))
+
+    def flash_grad_step(i, qkv, backward):
+        q = jax.lax.dynamic_index_in_dim(qkv, i % qkv.shape[0],
+                                         keepdims=False)
+        g = jax.grad(lambda q: jnp.mean(jnp.square(
+            flash_attention(q, q, q, mask_np,
+                            backward=backward).astype(jnp.float32))))(q)
+        return jnp.sum(g.astype(jnp.float32))
+
+    g_xla = sec_per_call(build_loop(xla_grad_step), (qkv, mask),
+                         "attnop_grad_xla")
+    g_pallas = sec_per_call(
+        build_loop(lambda i, qkv: flash_grad_step(i, qkv, "pallas")),
+        (qkv,), "attnop_grad_flash_pallas")
+    g_recomp = sec_per_call(
+        build_loop(lambda i, qkv: flash_grad_step(i, qkv, "xla")),
+        (qkv,), "attnop_grad_flash_recompute")
+    out["grad_ms"] = {"xla": round(g_xla * 1e3, 3),
+                      "flash_pallas": round(g_pallas * 1e3, 3),
+                      "flash_recompute": round(g_recomp * 1e3, 3)}
+    out["grad_flash_speedup"] = round(g_xla / g_pallas, 3)
+    log(f"[bench] attention op @{s}: fwd {out['forward_ms']} "
+        f"grad {out['grad_ms']}")
     return out
 
 

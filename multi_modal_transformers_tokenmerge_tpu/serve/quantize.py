@@ -1,0 +1,178 @@
+"""Post-training int8 quantization for the frozen T5 text tower (serving).
+
+The frozen text tower is the single biggest FLOP consumer of the obs->action
+path at OCTO sequence lengths (BASELINE.md decomposition), and it is frozen
+— no gradients ever flow through it (reference: tokenizers/text/t5_base.py
+wraps it in stop_gradient) — which makes it the textbook target for
+post-training quantization:
+
+* **weights**: symmetric per-output-channel int8 (scale = amax/127 over the
+  contraction axis), computed once from the trained params;
+* **activations**: dynamic symmetric per-row int8 at call time;
+* **dots**: ``lax.dot_general`` on int8 x int8 with int32 accumulation —
+  the v5e MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS);
+* everything else (RMSNorm, softmax, residuals, embeddings, position bias)
+  stays in f32/bf16 exactly as the float tower.
+
+``t5_encode_int8`` is a pure-jax forward over the quantized tree that
+mirrors ``modules/t5.py:T5EncoderStack`` layer for layer; the parity test
+(tests/test_quantize.py) holds the two implementations together.  Opt-in
+serving feature — training and fidelity paths are untouched.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..modules.t5 import relative_position_bucket
+
+__all__ = ["QTensor", "quantize_matrix", "int8_matmul",
+           "quantize_t5_params", "t5_encode_int8", "make_int8_text_encoder"]
+
+
+@flax.struct.dataclass
+class QTensor:
+    """Symmetric per-output-channel int8 matrix: ``w ≈ q * scale``."""
+
+    q: jax.Array      # (K, N) int8
+    scale: jax.Array  # (N,) float32
+
+
+def quantize_matrix(w: jax.Array) -> QTensor:
+    """(K, N) float matrix -> int8 with per-column (output-channel) scales."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q=q, scale=scale)
+
+
+def int8_matmul(a: jax.Array, w: QTensor) -> jax.Array:
+    """``a @ w`` with dynamic per-row int8 activation quantization.
+
+    a: (..., K) float; returns (..., N) float32.  The int8 x int8 dot hits
+    the MXU's double-rate byte path; quant/dequant are VPU elementwise ops
+    XLA fuses into the surrounding computation.
+    """
+    a32 = a.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(a32), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax, 1e-8) / 127.0
+    qa = jnp.clip(jnp.round(a32 / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qa, w.q, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * a_scale * w.scale
+
+
+def _q2d(kernel, k_dim: int) -> QTensor:
+    """Quantize a (possibly stacked DenseGeneral) kernel as a 2-D matrix
+    with ``k_dim`` contraction columns folded to axis 0."""
+    k = kernel.reshape(k_dim, -1)
+    return quantize_matrix(k)
+
+
+def quantize_t5_params(t5_params) -> dict:
+    """Convert a ``T5EncoderStack`` param tree (modules/t5.py) into the
+    quantized serving tree consumed by :func:`t5_encode_int8`.
+
+    Matmul kernels become :class:`QTensor`; embeddings, norm scales, and
+    the relative-position bias table stay float.  Handles the nn.scan
+    layer-stacked block leaves by vmapping the per-layer quantization.
+    """
+    p = t5_params
+    blocks = p["blocks"]
+    d_model = p["token_embedding"]["embedding"].shape[1]
+    d_ff = blocks["wi"]["kernel"].shape[-1]
+    h, dkv = blocks["attn"]["q"]["kernel"].shape[-2:]
+
+    def per_layer(layer):
+        return {
+            "attn_norm": layer["attn_norm"]["scale"],
+            "mlp_norm": layer["mlp_norm"]["scale"],
+            "q": _q2d(layer["attn"]["q"]["kernel"], d_model),
+            "k": _q2d(layer["attn"]["k"]["kernel"], d_model),
+            "v": _q2d(layer["attn"]["v"]["kernel"], d_model),
+            "o": _q2d(layer["attn"]["o"]["kernel"], h * dkv),
+            "wi": _q2d(layer["wi"]["kernel"], d_model),
+            "wo": _q2d(layer["wo"]["kernel"], d_ff),
+        }
+
+    return {
+        "token_embedding": p["token_embedding"]["embedding"],
+        "relative_attention_bias":
+            p["relative_attention_bias"]["embedding"],
+        "final_norm": p["final_norm"]["scale"],
+        "layers": jax.vmap(per_layer)(blocks),
+        "meta": {"num_heads": h, "d_kv": dkv},
+    }
+
+
+def _rmsnorm(x, scale, epsilon=1e-6):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return x32 * jax.lax.rsqrt(var + epsilon) * scale.astype(jnp.float32)
+
+
+def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
+                   rel_pos_max_distance: int = 128,
+                   dtype=jnp.bfloat16) -> jax.Array:
+    """Quantized mirror of ``T5EncoderStack.__call__`` (modules/t5.py)."""
+    meta = qparams["meta"]
+    h = int(meta["num_heads"]) if not hasattr(meta["num_heads"], "shape") \
+        else int(np.asarray(meta["num_heads"]))
+    dkv = int(np.asarray(meta["d_kv"]))
+    b, t = token_ids.shape
+
+    x = jnp.take(qparams["token_embedding"], token_ids, axis=0).astype(dtype)
+
+    pos = np.arange(t)
+    buckets = relative_position_bucket(
+        pos[None, :] - pos[:, None], num_buckets=rel_pos_buckets,
+        max_distance=rel_pos_max_distance)
+    bias_table = jnp.take(qparams["relative_attention_bias"],
+                          jnp.asarray(buckets), axis=0)  # (T, T, H)
+    position_bias = jnp.transpose(bias_table, (2, 0, 1))[None]  # (1,H,T,T)
+
+    def block(x, layer):
+        y = _rmsnorm(x, layer["attn_norm"]).astype(dtype)
+        q = int8_matmul(y, layer["q"]).reshape(b, t, h, dkv)
+        k = int8_matmul(y, layer["k"]).reshape(b, t, h, dkv)
+        v = int8_matmul(y, layer["v"]).reshape(b, t, h, dkv)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits + position_bias.astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(dtype))
+        out = int8_matmul(out.reshape(b, t, h * dkv), layer["o"])
+        x = x + out.astype(dtype)
+
+        y = _rmsnorm(x, layer["mlp_norm"]).astype(dtype)
+        y = jnp.maximum(int8_matmul(y, layer["wi"]), 0.0).astype(dtype)
+        y = int8_matmul(y, layer["wo"])
+        return (x + y.astype(dtype)), None
+
+    x, _ = jax.lax.scan(block, x, qparams["layers"])
+    return _rmsnorm(x, qparams["final_norm"]).astype(dtype)
+
+
+def make_int8_text_encoder(model, variables, dtype=jnp.bfloat16):
+    """Build a drop-in ``token_ids -> embeddings`` callable from an Octo
+    model whose text encoder is the frozen T5 tower — usable as the text
+    stage ahead of the ``*_with_text`` serving methods or PolicyEngine's
+    instruction cache."""
+    cfg = model.config.text
+    if cfg.kind != "t5":
+        raise ValueError(
+            f"int8 text tower needs a t5 text encoder, got {cfg.kind!r}")
+    t5_params = variables["params"]["text_encoder"]["t5_encoder"]
+    qp = quantize_t5_params(t5_params)
+
+    def encode(token_ids):
+        return t5_encode_int8(
+            qp, token_ids, rel_pos_buckets=cfg.t5_rel_pos_buckets,
+            rel_pos_max_distance=cfg.t5_rel_pos_max_distance, dtype=dtype)
+
+    return encode
