@@ -1,0 +1,231 @@
+// Native record-file reader: threaded batch assembly off the GIL.
+//
+// File format (written by utils/recordio.py):
+//   magic   8  bytes  "MMTRECv1"
+//   u32     schema_len
+//   bytes   schema (opaque to C++; JSON parsed Python-side)
+//   u32     record_size (bytes per fixed-size record)
+//   u64     num_records
+//   bytes   records, back to back
+//
+// A reader owns a pool of worker threads that pread() whole batches into
+// a bounded queue of prepared buffers; Python pops batches with a single
+// memcpy.  Shuffling is a per-epoch Fisher-Yates permutation (xorshift64),
+// deterministic given the seed.  Iteration loops forever (the consumer
+// counts epochs).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <fcntl.h>
+#include <mutex>
+#include <numeric>
+#include <string>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+struct Reader {
+  int fd = -1;
+  uint64_t data_off = 0;
+  uint32_t record_size = 0;
+  uint64_t num_records = 0;
+  std::string schema;
+
+  // streaming state
+  uint32_t batch_size = 0;
+  uint64_t seed = 0;
+  bool shuffle = false;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+
+  // batch index dispenser
+  std::mutex idx_mu;
+  uint64_t next_batch = 0;  // global monotonically increasing batch counter
+
+  // prepared-batch queue, delivered IN ORDER of batch counter
+  std::mutex q_mu;
+  std::condition_variable q_ready, q_space;
+  uint64_t next_delivered = 0;  // batch counter the consumer needs next
+  size_t queue_cap = 4;
+  // (counter, buffer) pairs; small so linear scan is fine
+  std::deque<std::pair<uint64_t, std::vector<uint8_t>>> queue;
+
+  uint64_t batches_per_epoch() const {
+    return num_records / batch_size;  // drop remainder
+  }
+};
+
+uint64_t xorshift64(uint64_t x) {
+  x ^= x << 13;
+  x ^= x >> 7;
+  x ^= x << 17;
+  return x ? x : 0x9E3779B97F4A7C15ull;
+}
+
+// record index for position `pos` of epoch `epoch` under the reader's
+// shuffle setting: a Feistel-ish index permutation, O(1) per lookup so
+// workers need no shared permutation array.
+uint64_t index_at(const Reader &r, uint64_t epoch, uint64_t pos) {
+  if (!r.shuffle) return pos;
+  // two rounds of multiply-xor-mod over [0, num_records): not a perfect
+  // cipher but a bijection is required — use cycle-walking over a
+  // power-of-two domain.
+  uint64_t n = r.num_records;
+  uint64_t bits = 1;
+  while ((1ull << bits) < n) ++bits;
+  uint64_t mask = (1ull << bits) - 1;
+  uint64_t k1 = xorshift64(r.seed + 0x1234567 + epoch * 0x9E3779B97F4A7C15ull);
+  uint64_t k2 = xorshift64(k1);
+  uint64_t x = pos;
+  do {
+    // two rounds of an invertible mix over the 2^bits domain
+    x = (x * 0x9E3779B97F4A7C15ull + k1) & mask;
+    x ^= x >> (bits / 2 + 1);
+    x = (x * 0xBF58476D1CE4E5B9ull + k2) & mask;
+    x ^= x >> (bits / 2 + 1);
+    x &= mask;
+  } while (x >= n);
+  return x;
+}
+
+void worker_main(Reader *r) {
+  const uint64_t bpe = r->batches_per_epoch();
+  std::vector<uint8_t> buf;
+  while (!r->stop.load(std::memory_order_relaxed)) {
+    uint64_t counter;
+    {
+      std::lock_guard<std::mutex> g(r->idx_mu);
+      counter = r->next_batch++;
+    }
+    uint64_t epoch = counter / bpe;
+    uint64_t batch_in_epoch = counter % bpe;
+
+    buf.resize((size_t)r->batch_size * r->record_size);
+    for (uint32_t i = 0; i < r->batch_size; ++i) {
+      uint64_t rec =
+          index_at(*r, epoch, batch_in_epoch * r->batch_size + i);
+      off_t off = (off_t)(r->data_off + rec * (uint64_t)r->record_size);
+      size_t want = r->record_size, got = 0;
+      while (got < want) {
+        ssize_t k = pread(r->fd, buf.data() + (size_t)i * r->record_size + got,
+                          want - got, off + (off_t)got);
+        if (k <= 0) return;  // IO error: terminate worker
+        got += (size_t)k;
+      }
+    }
+
+    // slot reservation is BY COUNTER: a worker may insert exactly when its
+    // batch is within queue_cap of the next delivery, so the batch the
+    // consumer is waiting for can always get in (no deadlock with a queue
+    // full of future batches), and at most queue_cap batches are queued.
+    std::unique_lock<std::mutex> lk(r->q_mu);
+    r->q_space.wait(lk, [&] {
+      return r->stop.load(std::memory_order_relaxed) ||
+             counter < r->next_delivered + r->queue_cap;
+    });
+    if (r->stop.load(std::memory_order_relaxed)) return;
+    r->queue.emplace_back(counter, std::move(buf));
+    buf = std::vector<uint8_t>();
+    r->q_ready.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void *rio_open(const char *path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  auto *r = new Reader();
+  r->fd = fd;
+  char magic[8];
+  uint32_t schema_len = 0;
+  if (pread(fd, magic, 8, 0) != 8 || memcmp(magic, "MMTRECv1", 8) != 0 ||
+      pread(fd, &schema_len, 4, 8) != 4) {
+    close(fd);
+    delete r;
+    return nullptr;
+  }
+  r->schema.resize(schema_len);
+  uint64_t off = 12;
+  if (pread(fd, r->schema.data(), schema_len, (off_t)off) !=
+      (ssize_t)schema_len) {
+    close(fd);
+    delete r;
+    return nullptr;
+  }
+  off += schema_len;
+  if (pread(fd, &r->record_size, 4, (off_t)off) != 4 ||
+      pread(fd, &r->num_records, 8, (off_t)(off + 4)) != 8) {
+    close(fd);
+    delete r;
+    return nullptr;
+  }
+  r->data_off = off + 12;
+  return r;
+}
+
+uint64_t rio_num_records(void *h) { return ((Reader *)h)->num_records; }
+uint32_t rio_record_size(void *h) { return ((Reader *)h)->record_size; }
+
+int rio_schema(void *h, char *out, int cap) {
+  auto *r = (Reader *)h;
+  int n = (int)r->schema.size();
+  if (out && cap >= n) memcpy(out, r->schema.data(), n);
+  return n;
+}
+
+int rio_start(void *h, uint32_t batch_size, int num_threads, uint64_t seed,
+              int shuffle, int queue_depth) {
+  auto *r = (Reader *)h;
+  if (batch_size == 0 || batch_size > r->num_records) return -1;
+  r->batch_size = batch_size;
+  r->seed = seed;
+  r->shuffle = shuffle != 0;
+  r->queue_cap = queue_depth > 0 ? (size_t)queue_depth : 4;
+  r->stop.store(false);
+  for (int i = 0; i < (num_threads > 0 ? num_threads : 2); ++i)
+    r->workers.emplace_back(worker_main, r);
+  return 0;
+}
+
+// Blocks until the IN-ORDER next batch is ready; copies it into out.
+int rio_next_batch(void *h, uint8_t *out) {
+  auto *r = (Reader *)h;
+  std::unique_lock<std::mutex> lk(r->q_mu);
+  for (;;) {
+    for (auto it = r->queue.begin(); it != r->queue.end(); ++it) {
+      if (it->first == r->next_delivered) {
+        memcpy(out, it->second.data(), it->second.size());
+        r->queue.erase(it);
+        r->next_delivered++;
+        r->q_space.notify_all();
+        return 0;
+      }
+    }
+    r->q_ready.wait(lk);
+    if (r->stop.load(std::memory_order_relaxed)) return -1;
+  }
+}
+
+void rio_close(void *h) {
+  auto *r = (Reader *)h;
+  r->stop.store(true);
+  {
+    std::lock_guard<std::mutex> g(r->q_mu);
+    r->q_ready.notify_all();
+    r->q_space.notify_all();
+  }
+  for (auto &t : r->workers)
+    if (t.joinable()) t.join();
+  close(r->fd);
+  delete r;
+}
+
+}  // extern "C"

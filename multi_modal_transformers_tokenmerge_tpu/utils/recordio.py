@@ -1,0 +1,260 @@
+"""Fixed-record binary dataset format with a native threaded reader.
+
+The reference has no data-loading layer at all (SURVEY.md §1); robot-policy
+training data (images + actions + instruction ids per step) is fixed-shape,
+which this format exploits: every record is the same byte size, so batch
+assembly is pure ``pread`` at computed offsets — no parsing on the hot
+path.  The C++ reader (``utils/native/recordio.cpp``) runs a worker pool
+off the GIL that fills a bounded in-order queue of ready batches; Python
+pops a batch with one memcpy and hands numpy views per field.  Pair with
+``utils.data.prefetch_to_device`` to overlap host IO with device compute.
+
+A pure-numpy fallback reader keeps everything working without a C++
+toolchain.
+
+Format (little-endian):
+  magic "MMTRECv1" | u32 schema_len | schema JSON | u32 record_size |
+  u64 num_records | records...
+Schema JSON: ``[[name, [shape...], dtype_str], ...]``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import struct
+import threading
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["write_records", "RecordReader", "record_schema_of"]
+
+_MAGIC = b"MMTRECv1"
+_SRC = os.path.join(os.path.dirname(__file__), "native", "recordio.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "native", "_recordio.so")
+_build_lock = threading.Lock()
+_lib = None
+
+Schema = List[Tuple[str, Tuple[int, ...], str]]
+
+
+def record_schema_of(example: Dict[str, np.ndarray]) -> Schema:
+    return [(k, tuple(v.shape), str(v.dtype))
+            for k, v in sorted(example.items())]
+
+
+def _record_nbytes(schema: Schema) -> int:
+    return sum(int(np.prod(shape)) * np.dtype(dt).itemsize
+               for _, shape, dt in schema)
+
+
+def write_records(path: str, examples: Iterable[Dict[str, np.ndarray]],
+                  schema: Schema = None) -> int:
+    """Write examples (dicts of fixed-shape arrays) to ``path``.
+    Returns the number of records written."""
+    it = iter(examples)
+    first = None
+    if schema is None:
+        first = next(it)
+        schema = record_schema_of(first)
+    blob = json.dumps(schema).encode("utf-8")
+    rec_size = _record_nbytes(schema)
+    n = 0
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(blob)))
+        f.write(blob)
+        f.write(struct.pack("<I", rec_size))
+        count_pos = f.tell()
+        f.write(struct.pack("<Q", 0))
+
+        def emit(ex):
+            nonlocal n
+            for name, shape, dt in schema:
+                arr = np.ascontiguousarray(ex[name], dtype=np.dtype(dt))
+                if arr.shape != tuple(shape):
+                    raise ValueError(
+                        f"field {name!r}: shape {arr.shape} != "
+                        f"schema {tuple(shape)}")
+                f.write(arr.tobytes())
+            n += 1
+
+        if first is not None:
+            emit(first)
+        for ex in it:
+            emit(ex)
+        f.seek(count_pos)
+        f.write(struct.pack("<Q", n))
+    return n
+
+
+def _native_available() -> bool:
+    from shutil import which
+    return which("g++") is not None or which("c++") is not None
+
+
+def _load_lib():
+    global _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            from shutil import which
+            cxx = which("g++") or which("c++")
+            if cxx is None:
+                raise RuntimeError("no C++ compiler available")
+            import subprocess
+            subprocess.run(
+                [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 _SRC, "-o", _SO],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        lib.rio_open.restype = ctypes.c_void_p
+        lib.rio_open.argtypes = [ctypes.c_char_p]
+        lib.rio_num_records.restype = ctypes.c_uint64
+        lib.rio_num_records.argtypes = [ctypes.c_void_p]
+        lib.rio_record_size.restype = ctypes.c_uint32
+        lib.rio_record_size.argtypes = [ctypes.c_void_p]
+        lib.rio_schema.restype = ctypes.c_int
+        lib.rio_schema.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_int]
+        lib.rio_start.restype = ctypes.c_int
+        lib.rio_start.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                  ctypes.c_int, ctypes.c_uint64,
+                                  ctypes.c_int, ctypes.c_int]
+        lib.rio_next_batch.restype = ctypes.c_int
+        lib.rio_next_batch.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_uint8)]
+        lib.rio_close.restype = None
+        lib.rio_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def _read_header(path: str):
+    with open(path, "rb") as f:
+        if f.read(8) != _MAGIC:
+            raise ValueError(f"{path}: not an MMTRECv1 file")
+        (schema_len,) = struct.unpack("<I", f.read(4))
+        schema = json.loads(f.read(schema_len).decode("utf-8"))
+        schema = [(name, tuple(shape), dt) for name, shape, dt in schema]
+        (rec_size,) = struct.unpack("<I", f.read(4))
+        (num_records,) = struct.unpack("<Q", f.read(8))
+        data_off = f.tell()
+    return schema, rec_size, num_records, data_off
+
+
+class RecordReader:
+    """Iterate batches (dicts of numpy arrays) from a record file.
+
+    ``backend='native'`` uses the C++ threaded reader; ``'numpy'`` is the
+    pure-Python fallback; ``'auto'`` picks native when a toolchain exists.
+    Iteration is infinite (epochs stream back to back); batches within an
+    epoch cover distinct records (shuffled by a per-epoch permutation when
+    ``shuffle_seed`` is given; remainder records beyond the last full batch
+    of an epoch are dropped).
+    """
+
+    def __init__(self, path: str, batch_size: int, shuffle_seed=None,
+                 num_threads: int = 2, queue_depth: int = 4,
+                 backend: str = "auto"):
+        self.path = path
+        self.batch_size = batch_size
+        self.schema, self.record_size, self.num_records, self._data_off = (
+            _read_header(path))
+        if batch_size <= 0 or batch_size > self.num_records:
+            raise ValueError(
+                f"batch_size {batch_size} invalid for "
+                f"{self.num_records} records")
+        self.shuffle_seed = shuffle_seed
+        if backend == "auto":
+            backend = "native" if _native_available() else "numpy"
+        self.backend = backend
+        self._handle = None
+        if backend == "native":
+            lib = _load_lib()
+            handle = lib.rio_open(path.encode("utf-8"))
+            if not handle:
+                raise RuntimeError(f"rio_open failed for {path}")
+            rc = lib.rio_start(
+                handle, batch_size, num_threads,
+                0 if shuffle_seed is None else int(shuffle_seed) or 1,
+                0 if shuffle_seed is None else 1, queue_depth)
+            if rc != 0:
+                lib.rio_close(handle)
+                raise RuntimeError("rio_start failed")
+            self._handle = handle
+            self._lib = lib
+        elif backend != "numpy":
+            raise ValueError(f"unknown backend {backend!r}")
+        self._epoch = 0
+        self._pos = 0
+        self._perm = None
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return self.num_records // self.batch_size
+
+    def _split(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        """One batch buffer -> per-field arrays."""
+        out = {}
+        view = flat.reshape(self.batch_size, self.record_size)
+        off = 0
+        for name, shape, dt in self.schema:
+            nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+            field = view[:, off:off + nbytes]
+            out[name] = np.ascontiguousarray(field).view(np.dtype(dt)).reshape(
+                self.batch_size, *shape)
+            off += nbytes
+        return out
+
+    def _next_numpy(self) -> np.ndarray:
+        if self._perm is None or self._pos + self.batch_size > (
+                self.batches_per_epoch * self.batch_size):
+            rng = (np.random.default_rng(
+                (self.shuffle_seed or 0) + self._epoch)
+                if self.shuffle_seed is not None else None)
+            self._perm = (rng.permutation(self.num_records)
+                          if rng is not None
+                          else np.arange(self.num_records))
+            self._epoch += 1
+            self._pos = 0
+        idx = self._perm[self._pos:self._pos + self.batch_size]
+        self._pos += self.batch_size
+        buf = np.empty(self.batch_size * self.record_size, dtype=np.uint8)
+        with open(self.path, "rb") as f:
+            for i, rec in enumerate(idx):
+                f.seek(self._data_off + int(rec) * self.record_size)
+                buf[i * self.record_size:(i + 1) * self.record_size] = (
+                    np.frombuffer(f.read(self.record_size), dtype=np.uint8))
+        return buf
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        if self._handle is not None:
+            buf = np.empty(self.batch_size * self.record_size,
+                           dtype=np.uint8)
+            rc = self._lib.rio_next_batch(
+                self._handle,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if rc != 0:
+                raise StopIteration
+        else:
+            buf = self._next_numpy()
+        return self._split(buf)
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.rio_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
