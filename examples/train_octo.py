@@ -3,14 +3,19 @@
 Usage:
     python examples/train_octo.py [--preset octo_tiny] [--head continuous]
         [--steps 200] [--batch 8] [--data-parallel] [--ckpt DIR]
+        [--recordio FILE]
 
 Covers the full training path: config -> model init -> optimizer with
 warmup-cosine + clipping -> prefetched data -> jitted donated train steps
 (optionally data-parallel over all local devices) -> metrics -> orbax
-checkpointing.
+checkpointing.  ``--recordio FILE`` writes a synthetic dataset to FILE on
+first use and streams batches through the native threaded record loader
+(utils/recordio.py) instead of generating them in Python per step.
 """
 
 import argparse
+import itertools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +41,9 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--recordio", default=None, metavar="FILE",
+                   help="stream batches from FILE via the native record "
+                        "loader (synthetic data written there on first use)")
     args = p.parse_args()
 
     cfg = get_preset(args.preset)
@@ -74,13 +82,35 @@ def main():
         sharding = batch_sharding(mesh)
         print(f"data-parallel over {mesh.shape} devices")
 
-    data = prefetch_to_device(
-        synthetic_octo_batches(
+    if args.recordio:
+        from multi_modal_transformers_tokenmerge_tpu.utils.recordio import (
+            RecordReader, write_records)
+        if not os.path.exists(args.recordio):
+            n = max(4 * args.batch, 64)
+            examples = (
+                {"text": t[0], "images": im[0], "actions": a[0]}
+                for t, im, a in itertools.islice(
+                    synthetic_octo_batches(
+                        1, image_shape=image_shape,
+                        text_length=cfg.text.max_length,
+                        action_dim=head_cfg.action_space_dim,
+                        vocab_size=cfg.text.vocab_size), n))
+            wrote = write_records(args.recordio, examples)
+            print(f"wrote {wrote} synthetic records to {args.recordio}")
+        reader = RecordReader(args.recordio, batch_size=args.batch,
+                              shuffle_seed=0)
+        print(f"record loader: backend={reader.backend}, "
+              f"{reader.num_records} records")
+        batches = (
+            (b["text"], b["images"], b["actions"]) for b in reader)
+    else:
+        batches = synthetic_octo_batches(
             args.batch, image_shape=image_shape,
             text_length=cfg.text.max_length,
             action_dim=head_cfg.action_space_dim,
-            vocab_size=cfg.text.vocab_size),
-        size=2, sharding=sharding)
+            vocab_size=cfg.text.vocab_size)
+
+    data = prefetch_to_device(batches, size=2, sharding=sharding)
 
     ckpt = CheckpointManager(args.ckpt) if args.ckpt else None
     logger = MetricLogger()
