@@ -106,7 +106,6 @@ def quantize_t5_params(t5_params) -> dict:
             p["relative_attention_bias"]["embedding"],
         "final_norm": p["final_norm"]["scale"],
         "layers": jax.vmap(per_layer)(blocks),
-        "meta": {"num_heads": h, "d_kv": dkv},
     }
 
 
@@ -119,11 +118,14 @@ def _rmsnorm(x, scale, epsilon=1e-6):
 def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
                    rel_pos_max_distance: int = 128,
                    dtype=jnp.bfloat16) -> jax.Array:
-    """Quantized mirror of ``T5EncoderStack.__call__`` (modules/t5.py)."""
-    meta = qparams["meta"]
-    h = int(meta["num_heads"]) if not hasattr(meta["num_heads"], "shape") \
-        else int(np.asarray(meta["num_heads"]))
-    dkv = int(np.asarray(meta["d_kv"]))
+    """Quantized mirror of ``T5EncoderStack.__call__`` (modules/t5.py).
+
+    Head geometry comes from array SHAPES (static even when the whole
+    qparams tree is a jit argument): num_heads from the bias table's last
+    axis, d_kv from the q matrix width.
+    """
+    h = qparams["relative_attention_bias"].shape[-1]
+    dkv = qparams["layers"]["q"].q.shape[-1] // h
     b, t = token_ids.shape
 
     x = jnp.take(qparams["token_embedding"], token_ids, axis=0).astype(dtype)
