@@ -54,6 +54,7 @@ N_INPUTS = 2
 SKIP_EXTRAS = os.environ.get("BENCH_SKIP_EXTRAS") == "1"
 DEEP = os.environ.get("BENCH_DEEP") == "1"
 MULTICAM = os.environ.get("BENCH_MULTICAM") == "1"
+DECOMP = os.environ.get("BENCH_DECOMP") == "1"
 
 # bf16 peak FLOP/s per chip by device kind — the physical ceiling used for
 # the MFU sanity assert (any measurement implying more is a broken bench,
@@ -568,6 +569,76 @@ def bench_flash_op(peak, batch=8, heads=12, head_dim=64):
     return out
 
 
+def main_decomp():
+    """Per-stage device-time decomposition of the octo_base bf16 forward
+    (BENCH_DECOMP=1): text tower / image tokenizer+transformer / DDPM
+    sampler, each timed with the fori_loop slope protocol."""
+    from multi_modal_transformers_tokenmerge_tpu.core.yaml_loader import (
+        load_config)
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+
+    peak, kind = device_peak_flops()
+    cfg = load_config("octo_base", ["dtype=bfloat16"])
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((BATCH, 16), dtype=jnp.int32)
+    rng = np.random.default_rng(0)
+    images_stack = jnp.asarray(
+        rng.integers(0, 256, (N_INPUTS, BATCH, 2, 280, 280, 3)),
+        dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        text, images_stack[0])
+    text_emb = jax.jit(
+        lambda v, t: model.apply(v, t, method="encode_text"))(variables, text)
+    readouts = jax.jit(
+        lambda v, te, im: model.apply(v, te, im,
+                                      method="generate_readouts_with_text")
+    )(variables, text_emb, images_stack[0])
+
+    def text_step(i, variables, text, key):
+        out = model.apply(variables, text + (i % 2), method="encode_text")
+        return jnp.sum(out.astype(jnp.float32))
+
+    def backbone_step(i, variables, text_emb, images_stack, key):
+        img = jax.lax.dynamic_index_in_dim(images_stack,
+                                           i % images_stack.shape[0],
+                                           keepdims=False)
+        out = model.apply(variables, text_emb, img,
+                          method="generate_readouts_with_text")
+        return jnp.sum(out.astype(jnp.float32))
+
+    def sampler_step(i, variables, readouts, key):
+        out = model.apply(
+            variables, readouts + (i % 2).astype(readouts.dtype) * 1e-6,
+            rngs={"diffusion": jax.random.fold_in(key, i)},
+            method=lambda m, r: m.diffusion_action_head.predict_action(r))
+        return jnp.sum(out.astype(jnp.float32))
+
+    stages = {
+        "text_tower": sec_per_call(
+            build_loop(text_step), (variables, text, keys[3]), "text_tower"),
+        "image_and_transformer": sec_per_call(
+            build_loop(backbone_step),
+            (variables, text_emb, images_stack, keys[3]), "backbone"),
+        "ddpm_sampler_32": sec_per_call(
+            build_loop(sampler_step), (variables, readouts, keys[3]),
+            "sampler"),
+    }
+    total = sum(stages.values())
+    print(json.dumps({
+        "metric": "octo_base_bf16_forward_stage_ms",
+        "value": round(total * 1e3, 3),
+        "unit": "ms/call (sum of stages)",
+        "vs_baseline": 1.0,
+        "detail": {"batch": BATCH, "device": kind, "stage_ms": {
+            k: round(v * 1e3, 3) for k, v in stages.items()},
+            "stage_share": {k: round(v / total, 3)
+                            for k, v in stages.items()}},
+    }), flush=True)
+
+
 def main_deep():
     """Isolated production-scale encoder stack (224 tokens, 12 blocks,
     4x MLP): vanilla vs grouped ToMe, device-time protocol."""
@@ -628,4 +699,9 @@ def main_deep():
 
 
 if __name__ == "__main__":
-    main_deep() if DEEP else main()
+    if DECOMP:
+        main_decomp()
+    elif DEEP:
+        main_deep()
+    else:
+        main()
