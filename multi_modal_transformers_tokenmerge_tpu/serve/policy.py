@@ -39,12 +39,18 @@ class PolicyEngine:
 
     def __init__(self, model, variables, head: str = "diffusion",
                  batch_size: int = 1, rng: Optional[jax.Array] = None,
-                 cache_text: bool = True, tokenizer=None):
+                 cache_text: bool = True, tokenizer=None, mesh=None):
         """``tokenizer``: optional callable mapping a list of instruction
         strings to an (B, T) int32 id array — e.g.
         ``utils.spm.T5StyleTokenizer`` over a local t5 sentencepiece model,
         or ``modules.text.WordTokenizer`` (reference tokenizes outside the
-        model the same way, octo.py:402-409)."""
+        model the same way, octo.py:402-409).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving
+        (BASELINE config 5): parameters are replicated across the mesh,
+        every request batch is sharded along the ``data`` axis, and XLA
+        runs each shard on its own chip — ``batch_size`` then means the
+        GLOBAL batch and must divide by the data-axis size."""
         if head not in _PREDICT_METHODS:
             raise ValueError(
                 f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
@@ -61,6 +67,17 @@ class PolicyEngine:
         self.batch_size = batch_size
         self.cache_text = cache_text
         self.tokenizer = tokenizer
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+            data_size = mesh.shape.get("data", 1)
+            if batch_size % data_size:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by the "
+                    f"mesh data axis ({data_size})")
+            self._batch_sharding = batch_sharding(mesh)
+            self.variables = jax.device_put(variables, replicated(mesh))
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._step = 0
         self._compiled = None
@@ -79,8 +96,15 @@ class PolicyEngine:
         raw string, or a list of strings (string input needs ``tokenizer``).
         """
         self._text_embeddings = self._encode_text_fn()(
-            self.variables, jnp.asarray(self._tokenize(text)))
+            self.variables, self._place(jnp.asarray(self._tokenize(text))))
         return self
+
+    def _place(self, batch_array):
+        """Shard a batch-leading array over the mesh's data axis (no-op
+        without a mesh)."""
+        if self._batch_sharding is None:
+            return batch_array
+        return jax.device_put(batch_array, self._batch_sharding)
 
     def _tokenize(self, text):
         if isinstance(text, str) or (
@@ -120,10 +144,20 @@ class PolicyEngine:
 
     def compile(self, text_shape, image_shape) -> "PolicyEngine":
         """AOT-compile the predict function(s) for fixed input shapes."""
-        var_shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.variables)
-        images = jax.ShapeDtypeStruct((self.batch_size, *image_shape),
-                                      jnp.float32)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+            rep, bat = replicated(self.mesh), self._batch_sharding
+            var_shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=rep), self.variables)
+            mk = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt,
+                                                        sharding=bat)
+        else:
+            var_shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                self.variables)
+            mk = jax.ShapeDtypeStruct
+        images = mk((self.batch_size, *image_shape), jnp.float32)
         key = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
         method = _PREDICT_METHODS[self.head]
@@ -133,7 +167,7 @@ class PolicyEngine:
             return self.model.apply(variables, text_tokens, images,
                                     rngs=rngs, method=method)
 
-        text = jax.ShapeDtypeStruct((self.batch_size, *text_shape), jnp.int32)
+        text = mk((self.batch_size, *text_shape), jnp.int32)
         self._compiled = (
             jax.jit(fn).lower(var_shapes, text, images, key).compile())
 
@@ -146,7 +180,7 @@ class PolicyEngine:
                 return self.model.apply(variables, text_embeddings, images,
                                         rngs=rngs, method=cached_method)
 
-            text_emb = jax.ShapeDtypeStruct(
+            text_emb = mk(
                 (self.batch_size, *text_shape, emb_dim),
                 self.model.config.compute_dtype)
             self._compiled_cached = (
@@ -166,8 +200,10 @@ class PolicyEngine:
         self._step += 1
         rngs = {"diffusion": key} if self.head == "diffusion" else None
 
+        images = self._place(jnp.asarray(images))
         if text_tokens is not None:
-            text_tokens = jnp.asarray(self._tokenize(text_tokens))
+            text_tokens = self._place(
+                jnp.asarray(self._tokenize(text_tokens)))
         if text_tokens is None:
             if self._text_embeddings is None:
                 raise ValueError(

@@ -120,3 +120,40 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_mesh_data_parallel_serving_matches_single_device():
+    """PolicyEngine(mesh=...): replicated params + batch sharded over the
+    data axis must produce identical actions to single-device serving,
+    through both the jit path and the AOT-compiled path."""
+    from multi_modal_transformers_tokenmerge_tpu.serve.policy import (
+        PolicyEngine)
+
+    model, state, text, images, _ = _setup(batch=8)
+    variables = {"params": state.params}
+
+    single = PolicyEngine(model, variables, head="continuous", batch_size=8)
+    a_single = single(images, text_tokens=text)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = PolicyEngine(model, variables, head="continuous",
+                           batch_size=8, mesh=mesh)
+    a_mesh = sharded(images, text_tokens=text)
+    assert (sharded._place(images).sharding.spec
+            == P("data"))
+    np.testing.assert_allclose(np.asarray(a_mesh), np.asarray(a_single),
+                               rtol=1e-5, atol=1e-5)
+
+    # AOT path with sharded avals + cached instruction
+    sharded.compile((4,), (64, 64, 3))
+    a_aot = sharded(images, text_tokens=text)
+    np.testing.assert_allclose(np.asarray(a_aot), np.asarray(a_single),
+                               rtol=1e-5, atol=1e-5)
+    sharded.set_instruction(text)
+    a_cached = sharded(images)
+    np.testing.assert_allclose(np.asarray(a_cached), np.asarray(a_single),
+                               rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PolicyEngine(model, variables, head="continuous", batch_size=3,
+                     mesh=mesh)
