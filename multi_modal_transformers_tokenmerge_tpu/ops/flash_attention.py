@@ -35,6 +35,27 @@ __all__ = ["flash_attention", "make_attention_fn"]
 _NEG_INF = -1e30
 
 
+def _dropout_threshold(rate: float) -> int:
+    """uint32 threshold t with P(bits < t) = rate."""
+    return min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1)
+
+
+def _tile_keep_mask(seed_ref, bi, h, q_tile, k_tile, shape, rate: float):
+    """Deterministic per-(batch, head, q-tile, k-tile) dropout keep mask.
+
+    Counter-based: the PRNG is re-seeded from the tile coordinates, so the
+    forward, dq (iterating k tiles per q tile), and dk/dv (iterating q
+    tiles per k tile) passes regenerate the SAME mask independently of
+    their iteration order.  Mosaic's prng_seed takes at most two words, so
+    the coordinates pack injectively into them: (batch, head) into word 0,
+    (q-tile, k-tile) into word 1 (each component < 2^16)."""
+    pltpu.prng_seed(seed_ref[0] ^ (bi * 65536 + h),
+                    seed_ref[1] ^ (q_tile * 65536 + k_tile))
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= jnp.uint32(_dropout_threshold(rate))
+
+
 def _flash_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                   block_k: int, sm_scale: float, num_k_blocks: int,
                   num_heads: int, head_dim: int):
@@ -132,9 +153,9 @@ def _flash_attention_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
 
 
 @functools.partial(jax.jit, static_argnames=("mask_key", "block_q", "block_k",
-                                             "interpret"))
-def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
-                        block_k, interpret):
+                                             "interpret", "dropout_rate"))
+def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, seed, *, mask_key, block_q,
+                        block_k, interpret, dropout_rate=0.0):
     b, s, h, d = q.shape
     s_pad = mask_i8.shape[0]
     num_q_blocks = s_pad // block_q
@@ -144,7 +165,7 @@ def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
         return _pad_to(x, s_pad, axis=1).reshape(b, s_pad, h * d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, num_q_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, h * d), lambda bi, qi, *_: (bi, qi, 0)),
@@ -159,19 +180,20 @@ def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
     )
     out, lse = pl.pallas_call(
         functools.partial(_flash_fwd_lse_kernel, block_k=block_k,
-                          sm_scale=sm_scale, num_heads=h, head_dim=d),
+                          sm_scale=sm_scale, num_heads=h, head_dim=d,
+                          dropout_rate=dropout_rate),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, s_pad), jnp.float32)),
         interpret=interpret,
-    )(k_hi, flat(q), flat(k), flat(v), mask_i8)
+    )(k_hi, seed, flat(q), flat(k), flat(v), mask_i8)
     return out[:, :s].reshape(b, s, h, d), lse
 
 
 @functools.partial(jax.jit, static_argnames=("mask_key", "block_q", "block_k",
-                                             "interpret"))
-def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *,
-                    mask_key, block_q, block_k, interpret):
+                                             "interpret", "dropout_rate"))
+def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, seed, *,
+                    mask_key, block_q, block_k, interpret, dropout_rate=0.0):
     b, s, h, d = q.shape
     s_pad = mask_i8.shape[0]
     num_q_blocks = s_pad // block_q
@@ -184,7 +206,7 @@ def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *,
     qf, kf, vf, dof = flat(q), flat(k), flat(v), flat(do)
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, num_q_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, h * d), lambda bi, qi, *_: (bi, qi, 0)),
@@ -200,14 +222,15 @@ def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *,
     )
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, block_k=block_k,
-                          sm_scale=sm_scale, num_heads=h, head_dim=d),
+                          sm_scale=sm_scale, num_heads=h, head_dim=d,
+                          dropout_rate=dropout_rate),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
         interpret=interpret,
-    )(k_hi, qf, kf, vf, dof, lse, delta, mask_i8)
+    )(k_hi, seed, qf, kf, vf, dof, lse, delta, mask_i8)
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, num_k_blocks),
         in_specs=[
             pl.BlockSpec((1, s_pad, h * d), lambda bi, ki, *_: (bi, 0, 0)),
@@ -226,12 +249,13 @@ def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *,
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, block_q=block_q,
                           sm_scale=sm_scale, num_q_blocks=num_q_blocks,
-                          num_heads=h, head_dim=d),
+                          num_heads=h, head_dim=d,
+                          dropout_rate=dropout_rate),
         grid_spec=dkv_spec,
         out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d), k.dtype),
                    jax.ShapeDtypeStruct((b, s_pad, h * d), v.dtype)),
         interpret=interpret,
-    )(q_lo, qf, kf, vf, dof, lse, delta, mask_i8)
+    )(q_lo, seed, qf, kf, vf, dof, lse, delta, mask_i8)
 
     unflat = lambda x: x[:, :s].reshape(b, s, h, d)
     return unflat(dq), unflat(dk), unflat(dv)
@@ -292,13 +316,22 @@ def _register_mask(mask: np.ndarray) -> str:
 # native backward: forward-with-LSE + dq / dkv kernels
 # ---------------------------------------------------------------------------
 
-def _flash_fwd_lse_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
-                          lse_ref, *, block_k, sm_scale, num_heads, head_dim):
+def _flash_fwd_lse_kernel(k_hi_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                          o_ref, lse_ref, *, block_k, sm_scale, num_heads,
+                          head_dim, dropout_rate):
     """Forward kernel that also emits the per-row logsumexp needed by the
-    native backward (standard flash-attention residual)."""
+    native backward (standard flash-attention residual).
+
+    With ``dropout_rate`` > 0, attention weights are dropped AFTER the
+    softmax normalization semantics: the accumulator uses dropped
+    (and 1/(1-r)-rescaled) probabilities while the row denominator ``l``
+    and the logsumexp use the undropped ones — so
+    ``out = (D ∘ softmax(S)) V`` exactly, with D regenerable per tile."""
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     k_hi = k_hi_ref[qi]
     d = head_dim
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     for h in range(num_heads):
         q = q_ref[0, :, h * d:(h + 1) * d]  # input dtype: full MXU rate
@@ -320,8 +353,14 @@ def _flash_fwd_lse_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if dropout_rate > 0.0:
+                keep = _tile_keep_mask(seed_ref, bi, h, qi, i,
+                                       (block_q, block_k), dropout_rate)
+                p_acc = jnp.where(keep, p, 0.0) * inv_keep
+            else:
+                p_acc = p
             acc_new = acc * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                p_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc_new
 
@@ -331,12 +370,14 @@ def _flash_fwd_lse_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
         lse_ref[0, h, :] = (m + jnp.log(l_safe))[:, 0]
 
 
-def _flash_dq_kernel(k_hi_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+def _flash_dq_kernel(k_hi_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                      delta_ref, mask_ref, dq_ref, *, block_k, sm_scale,
-                     num_heads, head_dim):
+                     num_heads, head_dim, dropout_rate):
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     k_hi = k_hi_ref[qi]
     d = head_dim
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     for h in range(num_heads):
         q = q_ref[0, :, h * d:(h + 1) * d]   # input dtype: full MXU rate
@@ -358,6 +399,13 @@ def _flash_dq_kernel(k_hi_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (BQ, BK)
+            if dropout_rate > 0.0:
+                # O = (D∘P)V  =>  dP = D∘(dO Vᵀ); delta = rowsum(dO∘O)
+                # already equals Σ_j P_ij dP_ij, so the ds formula is
+                # unchanged apart from masking dp
+                keep = _tile_keep_mask(seed_ref, bi, h, qi, i,
+                                       (q.shape[0], block_k), dropout_rate)
+                dp = jnp.where(keep, dp, 0.0) * inv_keep
             ds = (p * (dp - delta)).astype(k.dtype)
             return acc + jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())),
@@ -368,12 +416,15 @@ def _flash_dq_kernel(k_hi_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             dq_ref.dtype)
 
 
-def _flash_dkv_kernel(q_lo_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                      delta_ref, mask_ref, dk_ref, dv_ref, *, block_q,
-                      sm_scale, num_q_blocks, num_heads, head_dim):
+def _flash_dkv_kernel(q_lo_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, delta_ref, mask_ref, dk_ref, dv_ref, *,
+                      block_q, sm_scale, num_q_blocks, num_heads, head_dim,
+                      dropout_rate):
+    bi = pl.program_id(0)
     ki = pl.program_id(1)
     q_lo = q_lo_ref[ki]
     d = head_dim
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     for h in range(num_heads):
         k_t = k_ref[0, :, h * d:(h + 1) * d]   # (BK, D), input dtype
@@ -394,12 +445,23 @@ def _flash_dkv_kernel(q_lo_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             mask = mask_ref[pl.ds(j * block_q, block_q), :]
             s = jnp.where(mask != 0, s, _NEG_INF)
             p = jnp.exp(s - lse)
+            if dropout_rate > 0.0:
+                # same (q-tile, k-tile) seeding as the forward/dq passes:
+                # j is the q-tile index here, ki the k-tile index
+                keep = _tile_keep_mask(seed_ref, bi, h, j, ki,
+                                       (block_q, block_k), dropout_rate)
+                p_drop = jnp.where(keep, p, 0.0) * inv_keep
+            else:
+                keep = None
+                p_drop = p
             dv = dv + jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (BK, D)
             dp = jax.lax.dot_general(
                 do, v_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (BQ, BK)
+            if dropout_rate > 0.0:
+                dp = jnp.where(keep, dp, 0.0) * inv_keep
             ds = (p * (dp - delta)).astype(q.dtype)
             dk = dk + jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
@@ -453,41 +515,51 @@ def _flash_vjp_bwd(mask_key, block_q, block_k, residuals, g):
 _flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_vjp_native(q, k, v, mask_key, block_q, block_k,
-                                interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention_vjp_native(q, k, v, seed, mask_key, block_q, block_k,
+                                interpret, dropout_rate):
     padded, k_hi = _mask_tables(mask_key, block_q, block_k)
     out, _ = _flash_fwd_lse_impl(
-        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), mask_key=mask_key,
-        block_q=block_q, block_k=block_k, interpret=interpret)
+        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), seed,
+        mask_key=mask_key, block_q=block_q, block_k=block_k,
+        interpret=interpret, dropout_rate=dropout_rate)
     return out
 
 
-def _flash_native_fwd(q, k, v, mask_key, block_q, block_k, interpret):
+def _flash_native_fwd(q, k, v, seed, mask_key, block_q, block_k, interpret,
+                      dropout_rate):
     padded, k_hi = _mask_tables(mask_key, block_q, block_k)
     out, lse = _flash_fwd_lse_impl(
-        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), mask_key=mask_key,
-        block_q=block_q, block_k=block_k, interpret=interpret)
-    return out, (q, k, v, out, lse)
+        q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), seed,
+        mask_key=mask_key, block_q=block_q, block_k=block_k,
+        interpret=interpret, dropout_rate=dropout_rate)
+    return out, (q, k, v, seed, out, lse)
 
 
-def _flash_native_bwd(mask_key, block_q, block_k, interpret, residuals, g):
-    q, k, v, out, lse = residuals
+def _flash_native_bwd(mask_key, block_q, block_k, interpret, dropout_rate,
+                      residuals, g):
+    q, k, v, seed, out, lse = residuals
     b, s, h, d = q.shape
     padded, k_hi = _mask_tables(mask_key, block_q, block_k)
     q_lo = _qlo_table(mask_key, block_q, block_k)
     s_pad = padded.shape[0]
-    # delta_i = rowsum(dO * O), padded to (B, H, S_pad), f32
+    # delta_i = rowsum(dO * O), padded to (B, H, S_pad), f32.  With dropout,
+    # O already contains the dropped weights, so delta_i = Σ_j P_ij dP_ij
+    # still holds with dP = D∘(dO Vᵀ) — the formula is dropout-invariant.
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.moveaxis(delta, -1, 1)                       # (B, H, S)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, s_pad - s)))
-    return _flash_bwd_impl(
+    dq, dk, dv = _flash_bwd_impl(
         q, k, v, g, lse, delta, jnp.asarray(padded), jnp.asarray(k_hi),
-        jnp.asarray(q_lo), mask_key=mask_key, block_q=block_q,
-        block_k=block_k, interpret=interpret)
+        jnp.asarray(q_lo), seed, mask_key=mask_key, block_q=block_q,
+        block_k=block_k, interpret=interpret, dropout_rate=dropout_rate)
+    seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, seed_ct
 
 
 _flash_attention_vjp_native.defvjp(_flash_native_fwd, _flash_native_bwd)
+
+_ZERO_SEED = np.zeros((2,), dtype=np.int32)
 
 
 def _auto_blocks(s: int):
@@ -506,7 +578,8 @@ def _auto_blocks(s: int):
 
 def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = None,
                     block_k: int = None, interpret: bool = False,
-                    backward: str = "pallas"):
+                    backward: str = "pallas", dropout_rate: float = 0.0,
+                    dropout_rng=None):
     """Masked multi-head attention: (B, S, H, D) -> (B, S, H, D).
 
     ``mask`` must be a *static* numpy bool (S, S) array — queries attend to
@@ -518,6 +591,14 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = None,
     materializes the (B, H, S, S) weights; measured ~2x over the recompute
     path at S>=1024 on v5e.  ``backward='xla'`` recomputes gradients through
     the math-identical XLA attention instead.
+
+    Attention-weight dropout (``dropout_rate`` > 0 with a ``dropout_rng``
+    PRNG key): weights are dropped after softmax and rescaled by 1/(1-r)
+    inside the kernel, with counter-based per-(batch, head, q-tile, k-tile)
+    seeding so the backward kernels regenerate identical masks — requires
+    ``backward='pallas'`` (the XLA recompute path cannot reproduce the TPU
+    PRNG stream) and real TPU hardware (pallas interpret mode has no PRNG
+    lowering).
     """
     if not isinstance(mask, np.ndarray):
         raise TypeError("flash_attention requires a static numpy mask")
@@ -528,9 +609,27 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = None,
     block_q = block_q or auto_q
     block_k = block_k or auto_k
     mask_key = _register_mask(mask)
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0:
+        if backward != "pallas":
+            raise ValueError(
+                "flash attention dropout requires backward='pallas' (the "
+                "XLA recompute backward cannot regenerate the TPU PRNG "
+                "stream)")
+        if not 0.0 < dropout_rate < 1.0:
+            raise ValueError(f"dropout_rate {dropout_rate} not in (0, 1)")
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        key_arr = dropout_rng
+        if jnp.issubdtype(jnp.asarray(key_arr).dtype, jax.dtypes.prng_key):
+            key_arr = jax.random.key_data(key_arr)
+        seed = jax.lax.bitcast_convert_type(
+            jnp.asarray(key_arr).reshape(2), jnp.int32)
+    else:
+        seed = jnp.asarray(_ZERO_SEED)
     if backward == "pallas":
-        return _flash_attention_vjp_native(q, k, v, mask_key, block_q,
-                                           block_k, interpret)
+        return _flash_attention_vjp_native(q, k, v, seed, mask_key, block_q,
+                                           block_k, interpret, dropout_rate)
     if backward != "xla":
         raise ValueError(f"unknown backward {backward!r}")
     if interpret:
@@ -544,11 +643,17 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = None,
 
 def make_attention_fn(mask: np.ndarray, *, block_q: int = None,
                       block_k: int = None, interpret: bool = False,
-                      backward: str = "pallas"):
+                      backward: str = "pallas", dropout_rate: float = 0.0):
     """Adapter producing the ``attention_fn`` hook used by
-    modules.attention.MultiHeadAttention."""
-    def attention_fn(q, k, v, _mask_ignored=None):
+    modules.attention.MultiHeadAttention.  When built with
+    ``dropout_rate`` > 0, the returned fn takes a ``dropout_rng`` keyword
+    (supplied by the module from its 'dropout' rng collection) and applies
+    in-kernel attention-weight dropout; calls without a key run
+    deterministically."""
+    def attention_fn(q, k, v, _mask_ignored=None, dropout_rng=None):
+        rate = dropout_rate if dropout_rng is not None else 0.0
         return flash_attention(q, k, v, mask, block_q=block_q,
                                block_k=block_k, interpret=interpret,
-                               backward=backward)
+                               backward=backward, dropout_rate=rate,
+                               dropout_rng=dropout_rng)
     return attention_fn

@@ -37,15 +37,21 @@ def test_explicit_xla():
         TransformerConfig(attention_impl="xla"), LONG) is None
 
 
-def test_explicit_flash_with_weight_dropout_raises():
-    # the kernel has no attention-weight dropout; forcing it with a nonzero
-    # rate must fail loudly instead of silently dropping the regularization
+def test_explicit_flash_with_weight_dropout():
     import pytest
     from multi_modal_transformers_tokenmerge_tpu.core.config import (
         AttentionConfig)
+    # with the Pallas backward, the kernel applies attention-weight dropout
+    # natively — selection must succeed
     cfg = TransformerConfig(attention_impl="flash",
+                            flash_backward="pallas",
                             attention=AttentionConfig(dropout_rate=0.1))
-    with pytest.raises(ValueError, match="attention-weight dropout"):
+    assert _select_attention_fn(cfg, SHORT) is not None
+    # the XLA recompute backward cannot regenerate the kernel's dropout
+    # masks; forcing it must fail loudly instead of dropping semantics
+    cfg = TransformerConfig(attention_impl="flash", flash_backward="xla",
+                            attention=AttentionConfig(dropout_rate=0.1))
+    with pytest.raises(ValueError, match="dropout"):
         _select_attention_fn(cfg, SHORT)
 
 
