@@ -238,91 +238,10 @@ def _our_config(seq=SEQ):
     )
 
 
-# ---------------------------------------------------------------------------
-# parameter mapping: reference tree -> our tree
-# ---------------------------------------------------------------------------
-
-def _only(tree, prefix):
-    """The unique key starting with ``prefix`` (auto-numbered flax names)."""
-    keys = [k for k in tree if k.startswith(prefix)]
-    assert len(keys) == 1, (prefix, sorted(tree))
-    return tree[keys[0]]
-
-
-def _map_denoiser(ref):
-    """Reference OctoDenoise -> our split-projection OctoDenoise.
-
-    The reference's first MLP layer acts on
-    ``concat([noisy (A), time_emb (TIME_DIM), readout (E)])``
-    (diffusion.py:61); our first layer splits that kernel by source rows —
-    the identical affine map (heads/diffusion.py module docstring)."""
-    fourier = ref["time_encoder"]
-    block = ref["mlp_block"]
-    k0 = block["dense"]["kernel"]
-    assert k0.shape[0] == A + TIME_DIM + E, k0.shape
-    return {
-        "time_encoder": {
-            "fourier_kernel": fourier["fourier_kernel"],
-            "mlp": {"dense_in": fourier["mlp_block"]["dense"],
-                    "dense_out": fourier["mlp_block"]["dense_out"]},
-        },
-        "noisy_proj": {"kernel": k0[:A], "bias": block["dense"]["bias"]},
-        "time_proj": {"kernel": k0[A:A + TIME_DIM]},
-        "readout_proj": {"kernel": k0[A + TIME_DIM:]},
-        "first_out": block["dense_out"],
-    }
-
-
-def _map_params(ref):
-    """Full reference Octo param tree -> our Octo param tree.
-
-    Reference names come from the shim's pre-built module instances (flax
-    names modules by the dataclass attribute they live on), with the scanned
-    encoder block's MLP denses landing flat in the block scope."""
-    resnet = ref["image_encoder"]["resnet"]
-    stack = _only(ref["attention_blocks"], "ScanEncoder1DBlock")
-    attn = stack["MultiHeadDotProductAttention_0"]
-    return {
-        "text_encoder": {
-            "token_embedding": ref["text_encoder"]["embedding"],
-            "position_embedding": ref["text_encoder"]["position_embedding"],
-        },
-        "image_encoder": {
-            "resnet": {
-                "input_conv": resnet["input_conv"],
-                "block0_norm": resnet["resnet_norm"],
-                "block0_conv": resnet["resnet_conv"],
-                "output_dense": resnet["output_dense"],
-            },
-            "row_position_embedding":
-                ref["image_encoder"]["row_position_embedding"],
-            "col_position_embedding":
-                ref["image_encoder"]["col_position_embedding"],
-        },
-        "readout_encoder": {
-            "pos_embedding":
-                ref["readout_encoder"]["pos_embedding"],
-        },
-        "transformer": {
-            "posembed_input": ref["attention_blocks"]["posembed_input"],
-            "blocks": {
-                "ln_attention": stack["LayerNorm_0"],
-                "ln_mlp": stack["LayerNorm_1"],
-                "attention": {"query": attn["query"], "key": attn["key"],
-                              "value": attn["value"], "out": attn["out"]},
-                "mlp": {"dense_in": stack["Dense_0"],
-                        "dense_out": stack["Dense_1"]},
-            },
-        },
-        "continuous_action_head": {
-            "mean": ref["continuous_action_head"]["dense"]},
-        "categorical_action_head": {
-            "logits": ref["categorical_action_head"]["dense"]},
-        "diffusion_action_head": {
-            "denoiser": _map_denoiser(
-                ref["diffusion_action_head"]["denoising_model"])},
-    }
-
+# parameter mapping lives in the library now:
+# compat.convert_reference_octo_params (golden-tested here end-to-end)
+from multi_modal_transformers_tokenmerge_tpu.compat import (  # noqa: E402
+    convert_reference_octo_params)
 
 # ---------------------------------------------------------------------------
 # fixtures
@@ -358,7 +277,7 @@ def _build_models(seq):
 
     ours_model = Octo(_our_config(seq))
     ours_init = ours_model.init(rngs, text, images)["params"]
-    mapped = _map_params(ref_params)
+    mapped = convert_reference_octo_params(ref_params)
     # every leaf must exist with the same shape (catches mapping drift)
     jax.tree.map(lambda a, b: (np.testing.assert_array_equal(
         np.shape(a), np.shape(b))), ours_init, mapped)

@@ -24,46 +24,10 @@ def _hf_model():
     return transformers.FlaxT5EncoderModel(cfg, seed=0)
 
 
-def _map_params(hf):
-    """HF FlaxT5 param tree -> our T5EncoderStack param tree."""
-    enc = hf["encoder"]
-
-    def stack(fn):
-        return jnp.stack([fn(enc["block"][str(i)]["layer"])
-                          for i in range(L)])
-
-    blocks = {
-        "attn_norm": {"scale": stack(
-            lambda l: l["0"]["layer_norm"]["weight"])},
-        "attn": {
-            "q": {"kernel": stack(
-                lambda l: l["0"]["SelfAttention"]["q"]["kernel"].reshape(
-                    D, H, DKV))},
-            "k": {"kernel": stack(
-                lambda l: l["0"]["SelfAttention"]["k"]["kernel"].reshape(
-                    D, H, DKV))},
-            "v": {"kernel": stack(
-                lambda l: l["0"]["SelfAttention"]["v"]["kernel"].reshape(
-                    D, H, DKV))},
-            "o": {"kernel": stack(
-                lambda l: l["0"]["SelfAttention"]["o"]["kernel"].reshape(
-                    H, DKV, D))},
-        },
-        "mlp_norm": {"scale": stack(
-            lambda l: l["1"]["layer_norm"]["weight"])},
-        "wi": {"kernel": stack(
-            lambda l: l["1"]["DenseReluDense"]["wi"]["kernel"])},
-        "wo": {"kernel": stack(
-            lambda l: l["1"]["DenseReluDense"]["wo"]["kernel"])},
-    }
-    return {
-        "token_embedding": {"embedding": hf["shared"]["embedding"]},
-        "relative_attention_bias": {"embedding": (
-            enc["block"]["0"]["layer"]["0"]["SelfAttention"]
-            ["relative_attention_bias"]["embedding"])},
-        "blocks": blocks,
-        "final_norm": {"scale": enc["final_layer_norm"]["weight"]},
-    }
+# HF->native mapping lives in the library:
+# compat.convert_hf_t5_encoder_params (golden-tested here against HF)
+from multi_modal_transformers_tokenmerge_tpu.compat import (  # noqa: E402
+    convert_hf_t5_encoder_params)
 
 
 def test_native_t5_matches_hf():
@@ -75,7 +39,7 @@ def test_native_t5_matches_hf():
     ours = T5EncoderStack(vocab_size=V, d_model=D, num_layers=L, num_heads=H,
                           d_kv=DKV, d_ff=DFF, rel_pos_buckets=BUCKETS,
                           rel_pos_max_distance=MAXDIST)
-    params = _map_params(hf.params)
+    params = convert_hf_t5_encoder_params(hf.params)
     out = np.asarray(ours.apply({"params": params}, ids))
 
     assert out.shape == expected.shape
