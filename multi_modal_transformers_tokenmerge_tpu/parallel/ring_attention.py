@@ -1,0 +1,97 @@
+"""Ring attention: context parallelism for sequences sharded over a mesh.
+
+The reference's only long-context strategy is token reduction (SURVEY.md
+§5); the flash kernel (ops/flash_attention.py) covers single-chip long
+sequences.  This module adds the third regime — sequences too long for one
+chip's HBM/compute: shard the sequence axis over a ``seq`` mesh axis, keep
+Q local, and rotate K/V shards around the ICI ring with ``ppermute``,
+merging each visiting block into per-row online-softmax statistics
+``(m, l, acc)`` — the same math the flash kernel uses across key tiles,
+lifted across chips.  Communication fully overlaps compute from the
+compiler's view (one collective per ring step inside a ``lax.scan``).
+
+Differentiable end to end: the backward replays the scan with transposed
+ppermutes — no custom VJP needed.
+
+The static (S, S) mask is replicated and sliced per (device, ring-step)
+pair, so arbitrary block-causal OCTO layouts work unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["ring_attention", "SEQ_AXIS"]
+
+SEQ_AXIS = "seq"
+
+_NEG_INF = -1e30
+
+
+def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
+                   axis: str = SEQ_AXIS):
+    """Masked MHA with the sequence axis sharded over ``mesh[axis]``.
+
+    Args:
+      q, k, v: (B, S, H, D) — will be sharded (B, S/P, H, D) per device.
+      mask: static numpy bool (S, S), queries attend where True.
+      mesh: mesh containing ``axis`` of size P; S must divide by P.
+
+    Returns (B, S, H, D), sharded like q.
+    """
+    if not isinstance(mask, np.ndarray):
+        raise TypeError("ring_attention requires a static numpy mask")
+    b, s, h, d = q.shape
+    p = mesh.shape[axis]
+    if s % p:
+        raise ValueError(f"sequence {s} not divisible by ring size {p}")
+    s_local = s // p
+    scale = 1.0 / np.sqrt(d)
+    mask_arr = jnp.asarray(mask, dtype=jnp.int8)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis), P()),
+        out_specs=P(None, axis),
+        check_vma=False)
+    def run(q, k, v, mask_full):
+        idx = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % p) for i in range(p)]
+        q32 = q.astype(jnp.float32)
+
+        def ring_step(carry, r):
+            m, l, acc, k_blk, v_blk = carry
+            # the visiting K/V block originated on device (idx - r) mod p
+            src = jax.lax.rem(idx - r + p, p)
+            mask_tile = jax.lax.dynamic_slice(
+                mask_full, (idx * s_local, src * s_local),
+                (s_local, s_local))
+            st = jnp.einsum("bqhd,bkhd->bhqk", q32,
+                            k_blk.astype(jnp.float32)) * scale
+            st = jnp.where(mask_tile[None, None] != 0, st, _NEG_INF)
+            m_blk = jnp.max(st, axis=-1)                       # (B, H, Q)
+            m_new = jnp.maximum(m, m_blk)
+            pr = jnp.exp(st - m_new[..., None])
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(pr, axis=-1)
+            acc_new = (acc * alpha[..., None]
+                       + jnp.einsum("bhqk,bkhd->bhqd", pr,
+                                    v_blk.astype(jnp.float32)))
+            k_blk, v_blk = jax.lax.ppermute((k_blk, v_blk), axis, perm)
+            return (m_new, l_new, acc_new, k_blk, v_blk), None
+
+        m0 = jnp.full((b, h, s_local), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((b, h, s_local), jnp.float32)
+        acc0 = jnp.zeros((b, h, s_local, d), jnp.float32)
+        (m, l, acc, _, _), _ = jax.lax.scan(
+            ring_step, (m0, l0, acc0, k, v), jnp.arange(p))
+        # fully-masked (padding) rows: emit zeros, not NaN
+        out = acc / jnp.maximum(l, 1e-30)[..., None]           # (B, H, Q, D)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
+
+    return run(q, k, v, mask_arr)
