@@ -52,6 +52,7 @@ def pipelined_apply(
     mesh: Mesh,
     num_microbatches: int,
     axis: str = PIPE_AXIS,
+    data_axis: str = None,
 ) -> jax.Array:
     """Run ``x`` through all pipeline stages.
 
@@ -61,17 +62,29 @@ def pipelined_apply(
       stage_params: output of :func:`split_stages` —
         ``(num_stages, layers_per_stage, ...)`` leaves, laid out (or to be
         laid out) with axis 0 on the ``pipe`` mesh axis.
-      x: ``(B, ...)`` activations; B must divide by ``num_microbatches``.
-      mesh: mesh containing ``axis``.
+      x: ``(B, ...)`` activations; B must divide by ``num_microbatches``
+        (times the data-axis size when ``data_axis`` is given).
+      mesh: mesh containing ``axis`` (and ``data_axis`` if used).
       num_microbatches: GPipe microbatch count (M >= P recommended).
+      data_axis: optional second mesh axis for combined PP x DP — each
+        microbatch's batch dimension shards over it (params replicate
+        across it; the backward inserts the data-axis grad psum
+        automatically through shard_map's transpose).
 
-    Returns ``(B, ...)`` outputs, replicated over the pipe axis.
+    Returns ``(B, ...)`` outputs, replicated over the pipe axis and
+    sharded over the data axis.
     """
     num_stages = mesh.shape[axis]
     b = x.shape[0]
     if b % num_microbatches:
         raise ValueError(f"batch {b} not divisible by M={num_microbatches}")
+    if data_axis is not None and (
+            (b // num_microbatches) % mesh.shape[data_axis]):
+        raise ValueError(
+            f"microbatch size {b // num_microbatches} not divisible by the "
+            f"data axis ({mesh.shape[data_axis]})")
     mbs = x.reshape(num_microbatches, b // num_microbatches, *x.shape[1:])
+    batch_spec = P(None, data_axis) if data_axis else P()
 
     def stage_fn(params, h):
         def body(h, layer_params):
@@ -81,7 +94,7 @@ def pipelined_apply(
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), P()), out_specs=P(),
+        in_specs=(P(axis), batch_spec), out_specs=batch_spec,
         check_vma=False)
     def run(stage_params, mbs):
         # shard_map gives this device a (1, L/P, ...) slice; drop the axis

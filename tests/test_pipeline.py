@@ -92,3 +92,43 @@ def test_pipeline_rejects_bad_shapes(setup):
     with pytest.raises(ValueError, match="not divisible"):
         pipelined_apply(setup["layer_fn"], split_stages(setup["stacked"], 4),
                         setup["x"], mesh, 3)
+
+
+def test_pipeline_composes_with_data_parallelism(setup):
+    """Combined PP x DP on a ('data', 'pipe') mesh: batch shards over
+    'data', stages over 'pipe'; forward and gradients must equal the
+    sequential single-device stack (shard_map's transpose inserts the
+    data-axis grad psum)."""
+    from jax.sharding import PartitionSpec as P  # noqa: F401
+
+    stages, microbatches = 2, 2
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "pipe"))
+
+    ref = setup["sequential"](setup["stacked"], setup["x"])
+    out = pipelined_apply(setup["layer_fn"],
+                          split_stages(setup["stacked"], stages),
+                          setup["x"], mesh, microbatches,
+                          data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_seq(params, x):
+        return jnp.mean(jnp.square(setup["sequential"](params, x)))
+
+    def loss_pp_dp(params, x):
+        y = pipelined_apply(setup["layer_fn"], split_stages(params, stages),
+                            x, mesh, microbatches, data_axis="data")
+        return jnp.mean(jnp.square(y))
+
+    g_ref = jax.grad(loss_seq)(setup["stacked"], setup["x"])
+    g = jax.grad(loss_pp_dp)(setup["stacked"], setup["x"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        g, g_ref)
+
+    with pytest.raises(ValueError, match="data axis"):
+        pipelined_apply(setup["layer_fn"],
+                        split_stages(setup["stacked"], stages),
+                        setup["x"][:6], mesh, 6, data_axis="data")
