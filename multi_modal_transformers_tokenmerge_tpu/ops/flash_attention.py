@@ -496,16 +496,18 @@ def _flash_attention_vjp(q, k, v, mask_key, block_q, block_k):
 
 def _flash_vjp_fwd(q, k, v, mask_key, block_q, block_k):
     out = _flash_attention_vjp(q, k, v, mask_key, block_q, block_k)
-    return out, (q, k, v)
+    # carry the mask as a residual: the registry is a bounded FIFO, so by
+    # the time the (possibly long-deferred) backward traces, the entry may
+    # have been evicted by other masks registered in between
+    mask_bool = jnp.asarray(_MASK_REGISTRY[mask_key])
+    return out, (q, k, v, mask_bool)
 
 
 def _flash_vjp_bwd(mask_key, block_q, block_k, residuals, g):
     # remat-style backward: recompute attention with the mathematically
     # identical XLA implementation and differentiate through it — exact
-    # gradients, no backward kernel required (TODO.md item 1 tracks a
-    # dedicated Pallas backward)
-    q, k, v = residuals
-    mask_bool = jnp.asarray(_MASK_REGISTRY[mask_key])
+    # gradients, no backward kernel required
+    q, k, v, mask_bool = residuals
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_reference_attention(q_, k_, v_, mask_bool),
         q, k, v)

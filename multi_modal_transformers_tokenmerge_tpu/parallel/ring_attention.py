@@ -76,7 +76,10 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
             st = jnp.where(mask_tile[None, None] != 0, st, _NEG_INF)
             m_blk = jnp.max(st, axis=-1)                       # (B, H, Q)
             m_new = jnp.maximum(m, m_blk)
-            pr = jnp.exp(st - m_new[..., None])
+            # fully-masked rows keep m_new at -1e30; clamping the exponent
+            # reference keeps exp(st - m) at 0 for them (so l stays 0 and
+            # the final guard emits zeros) instead of exp(0) = 1 everywhere
+            pr = jnp.exp(st - jnp.maximum(m_new, 0.5 * _NEG_INF)[..., None])
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(pr, axis=-1)
             acc_new = (acc * alpha[..., None]

@@ -51,17 +51,22 @@ def fit(state: OctoTrainState,
             batch = tuple(jax.device_put(x, sharding) for x in batch)
         state, loss = step(state, *batch)
 
+        # step_no is only an ESTIMATE between syncs (a custom step_fn may
+        # advance state.step differently); log/checkpoint boundaries read
+        # the authoritative device value — they already sync for metrics,
+        # so this costs nothing extra on the hot path
         step_no = start_step + i + 1
         if logger is not None and (i + 1) % log_every == 0:
             metrics = jax.device_get(state.metrics.compute())
+            step_no = int(state.step)
             logger.log({**metrics, "last_loss": float(loss)}, step=step_no)
             if reset_metrics_on_log and (i + 1) < num_steps:
                 from .state import Metrics
                 state = state.replace(metrics=Metrics.empty())
         if checkpointer is not None and (i + 1) % checkpoint_every == 0:
-            checkpointer.save(step_no, state)
+            checkpointer.save(int(state.step), state)
 
     if checkpointer is not None:
-        checkpointer.save(start_step + num_steps, state)
+        checkpointer.save(int(state.step), state)
         checkpointer.wait()
     return state

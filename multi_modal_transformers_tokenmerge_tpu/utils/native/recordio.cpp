@@ -46,6 +46,7 @@ struct Reader {
   // batch index dispenser
   std::mutex idx_mu;
   uint64_t next_batch = 0;  // global monotonically increasing batch counter
+  std::atomic<bool> error{false};  // an IO error occurred in a worker
 
   // prepared-batch queue, delivered IN ORDER of batch counter
   std::mutex q_mu;
@@ -114,7 +115,16 @@ void worker_main(Reader *r) {
       while (got < want) {
         ssize_t k = pread(r->fd, buf.data() + (size_t)i * r->record_size + got,
                           want - got, off + (off_t)got);
-        if (k <= 0) return;  // IO error: terminate worker
+        if (k <= 0) {
+          // IO error / truncated file: this worker has already claimed a
+          // batch counter the consumer is waiting for — flag the error and
+          // wake everyone so rio_next_batch fails instead of hanging
+          r->error.store(true, std::memory_order_relaxed);
+          std::lock_guard<std::mutex> g(r->q_mu);
+          r->q_ready.notify_all();
+          r->q_space.notify_all();
+          return;
+        }
         got += (size_t)k;
       }
     }
@@ -196,6 +206,7 @@ int rio_start(void *h, uint32_t batch_size, int num_threads, uint64_t seed,
 }
 
 // Blocks until the IN-ORDER next batch is ready; copies it into out.
+// Returns 0 on success, -1 on shutdown, -2 on a worker IO error.
 int rio_next_batch(void *h, uint8_t *out) {
   auto *r = (Reader *)h;
   std::unique_lock<std::mutex> lk(r->q_mu);
@@ -209,8 +220,10 @@ int rio_next_batch(void *h, uint8_t *out) {
         return 0;
       }
     }
+    if (r->error.load(std::memory_order_relaxed)) return -2;
     r->q_ready.wait(lk);
     if (r->stop.load(std::memory_order_relaxed)) return -1;
+    if (r->error.load(std::memory_order_relaxed)) return -2;
   }
 }
 

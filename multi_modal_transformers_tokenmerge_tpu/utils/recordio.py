@@ -155,7 +155,10 @@ class RecordReader:
     Iteration is infinite (epochs stream back to back); batches within an
     epoch cover distinct records (shuffled by a per-epoch permutation when
     ``shuffle_seed`` is given; remainder records beyond the last full batch
-    of an epoch are dropped).
+    of an epoch are dropped).  Each backend's shuffle is deterministic
+    given the seed, but the two backends use different permutation
+    algorithms (cycle-walking bijection vs numpy Fisher-Yates), so their
+    orders differ from each other.
     """
 
     def __init__(self, path: str, batch_size: int, shuffle_seed=None,
@@ -181,7 +184,7 @@ class RecordReader:
                 raise RuntimeError(f"rio_open failed for {path}")
             rc = lib.rio_start(
                 handle, batch_size, num_threads,
-                0 if shuffle_seed is None else int(shuffle_seed) or 1,
+                0 if shuffle_seed is None else int(shuffle_seed),
                 0 if shuffle_seed is None else 1, queue_depth)
             if rc != 0:
                 lib.rio_close(handle)
@@ -199,17 +202,16 @@ class RecordReader:
         return self.num_records // self.batch_size
 
     def _split(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
-        """One batch buffer -> per-field arrays."""
-        out = {}
-        view = flat.reshape(self.batch_size, self.record_size)
-        off = 0
-        for name, shape, dt in self.schema:
-            nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
-            field = view[:, off:off + nbytes]
-            out[name] = np.ascontiguousarray(field).view(np.dtype(dt)).reshape(
-                self.batch_size, *shape)
-            off += nbytes
-        return out
+        """One batch buffer -> per-field arrays, ZERO-copy: the records
+        are reinterpreted through a structured dtype, so each field is a
+        view into the batch buffer (no per-field ascontiguousarray pass —
+        device_put consumes strided views fine)."""
+        rec_dtype = np.dtype([(name, np.dtype(dt), tuple(shape))
+                              for name, shape, dt in self.schema])
+        assert rec_dtype.itemsize == self.record_size, (
+            rec_dtype.itemsize, self.record_size)
+        recs = flat.view(rec_dtype)
+        return {name: recs[name] for name, _, _ in self.schema}
 
     def _next_numpy(self) -> np.ndarray:
         if self._perm is None or self._pos + self.batch_size > (
@@ -242,6 +244,10 @@ class RecordReader:
             rc = self._lib.rio_next_batch(
                 self._handle,
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if rc == -2:
+                raise RuntimeError(
+                    f"record read failed in {self.path!r} (truncated file "
+                    "or IO error)")
             if rc != 0:
                 raise StopIteration
         else:

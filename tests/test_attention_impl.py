@@ -69,3 +69,31 @@ def test_explicit_flash_returns_fn():
     out = flash_attention(q, q, q, SHORT.attention_mask(), interpret=True)
     assert out.shape == q.shape
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_plain_four_arg_attention_fn_still_works_with_dropout_config():
+    """A user hook with the documented (q, k, v, mask) signature must keep
+    working even when the module trains with attention-weight dropout
+    (the rng kwarg is only passed to hooks that accept it)."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig)
+    from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
+        MultiHeadAttention)
+
+    calls = []
+
+    def hook(q, k, v, mask):
+        calls.append(q.shape)
+        return jax.nn.dot_product_attention(
+            q, k, v, mask=None if mask is None else mask[None, None])
+
+    mha = MultiHeadAttention(
+        AttentionConfig(num_heads=2, qkv_features=16, dropout_rate=0.5),
+        attention_fn=hook)
+    x = jnp.ones((2, 8, 16))
+    v = mha.init({"params": jax.random.PRNGKey(0)}, x)
+    out = mha.apply(v, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == x.shape and calls

@@ -89,7 +89,8 @@ def test_flash_gradients_match_xla(monkeypatch):
     g = jax.random.normal(jax.random.PRNGKey(6), q.shape)
 
     mask_key = fa._register_mask(mask)
-    grads = fa._flash_vjp_bwd(mask_key, 8, 8, (q, k, v), g)
+    grads = fa._flash_vjp_bwd(mask_key, 8, 8,
+                              (q, k, v, jnp.asarray(mask)), g)
 
     def ref(q, k, v):
         return reference_attention(q, k, v, mask)

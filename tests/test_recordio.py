@@ -1,6 +1,8 @@
 """Native record loader: format round-trip, epoch coverage, native/numpy
 backend agreement, and train-pipeline integration."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -102,3 +104,19 @@ def test_writer_rejects_shape_drift(tmp_path):
            {"a": np.zeros((3,), np.float32)}]
     with pytest.raises(ValueError, match="shape"):
         write_records(str(tmp_path / "bad.rec"), bad)
+
+
+def test_native_reader_raises_on_truncated_file(tmp_path):
+    """A truncated record file must raise, not hang the consumer
+    (the worker flags the IO error and wakes the queue)."""
+    path = str(tmp_path / "trunc.rec")
+    write_records(path, _examples(24))
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(size - 100)  # chop into the last records
+    r = RecordReader(path, batch_size=8, backend="native")
+    with pytest.raises((RuntimeError, StopIteration), match=""):
+        # in-order delivery: iterate until the damaged batch surfaces
+        for _ in range(r.batches_per_epoch):
+            next(r)
+    r.close()

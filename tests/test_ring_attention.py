@@ -94,3 +94,21 @@ def test_ring_under_jit_with_fsdp_style_batch():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(_reference(q, k, v, mask)),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_fully_masked_rows_emit_zeros():
+    """Rows whose mask forbids every key must come out as zeros (matching
+    the flash kernel's padding behavior), not the unmasked mean of V."""
+    mask = np.tril(np.ones((S, S), dtype=bool))
+    mask[5] = False       # a dead row in the first shard
+    mask[S - 3] = False   # and one in the last
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("seq",))
+    q, k, v = _qkv(3)
+    out = np.asarray(ring_attention(q, k, v, mask, mesh))
+    np.testing.assert_array_equal(out[:, 5], 0.0)
+    np.testing.assert_array_equal(out[:, S - 3], 0.0)
+    # live rows still match the reference on the same mask
+    ref = np.asarray(_reference(q, k, v, mask))
+    live = [i for i in range(S) if i not in (5, S - 3)]
+    np.testing.assert_allclose(out[:, live], ref[:, live],
+                               rtol=2e-5, atol=2e-5)
