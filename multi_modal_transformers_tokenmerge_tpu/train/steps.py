@@ -26,13 +26,19 @@ LOSS_METHODS = {
 }
 
 
-def make_train_step(head: str, donate: bool = True,
-                    jit: bool = True) -> Callable:
+def make_train_step(head: str, donate: bool = True, jit: bool = True,
+                    accum_steps: int = 1) -> Callable:
     """Build ``step(state, text_tokens, images, actions) -> (state, loss)``.
 
     Sharded training needs no special step: place the state/batch on a mesh
     (parallel.mesh) and jit's SPMD partitioner inserts the gradient
     all-reduce automatically.
+
+    ``accum_steps`` > 1 enables gradient accumulation: the batch splits
+    into that many microbatches processed sequentially by a ``lax.scan``
+    (one optimizer update per call, activation memory of one microbatch).
+    Per-microbatch rngs are folded by the microbatch index, so stochastic
+    pieces (dropout, patch positions, diffusion times) draw independently.
     """
     try:
         method = LOSS_METHODS[head]
@@ -42,12 +48,52 @@ def make_train_step(head: str, donate: bool = True,
     def step(state: OctoTrainState, text_tokens, images, actions):
         rngs = state.step_rngs()
 
-        def loss_fn(params):
-            loss = state.apply_fn({"params": params}, text_tokens, images,
-                                  actions, rngs=rngs, method=method)
-            return jnp.mean(loss)
+        if accum_steps == 1:
+            def loss_fn(params):
+                loss = state.apply_fn({"params": params}, text_tokens,
+                                      images, actions, rngs=rngs,
+                                      method=method)
+                return jnp.mean(loss)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        else:
+            b = text_tokens.shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps={accum_steps}")
+            split = lambda x: x.reshape(accum_steps, b // accum_steps,
+                                        *x.shape[1:])
+            mbs = (split(text_tokens), split(images), split(actions))
+
+            def micro(carry, xs):
+                i, text_mb, img_mb, act_mb = xs
+                mb_rngs = {k: jax.random.fold_in(v, i)
+                           for k, v in rngs.items()}
+
+                def loss_fn(params):
+                    loss = state.apply_fn({"params": params}, text_mb,
+                                          img_mb, act_mb, rngs=mb_rngs,
+                                          method=method)
+                    return jnp.mean(loss)
+
+                l, g = jax.value_and_grad(loss_fn)(state.params)
+                acc_l, acc_g = carry
+                return (acc_l + l,
+                        jax.tree.map(jnp.add, acc_g, g)), None
+
+            zeros = jax.tree.map(
+                lambda t: jnp.zeros(t.shape, jnp.promote_types(t.dtype,
+                                                               jnp.float32)),
+                state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                micro, (jnp.float32(0.0), zeros),
+                (jnp.arange(accum_steps), *mbs))
+            inv = 1.0 / accum_steps
+            loss = loss_sum * inv
+            grads = jax.tree.map(
+                lambda g, p: (g * inv).astype(p.dtype), grad_sum,
+                state.params)
+
         grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads)
         state = state.replace(

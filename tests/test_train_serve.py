@@ -254,3 +254,52 @@ def test_checkpoint_roundtrip_with_ema(tmp_path, setup):
                     jax.tree.leaves(restored.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """accum_steps=4 must produce the same update as one full-batch step
+    when the loss is deterministic (continuous head, rngs unused by the
+    loss beyond patch positions which we keep deterministic via eval-free
+    equality of the accumulated gradient math)."""
+    import optax
+
+    from micro_configs import octo_micro
+
+    cfg = octo_micro()
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    rng = np.random.default_rng(0)
+    B = 8
+    text = jnp.asarray(rng.integers(0, 64, (B, 4)), dtype=jnp.int32)
+    images = jnp.asarray(rng.uniform(0, 255, (B, 64, 64, 3)),
+                         dtype=jnp.float32)
+    actions = jnp.asarray(rng.uniform(-1, 1, (B, 4)), dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]}, text, images)
+
+    def fresh():
+        # dropout 0 in micro config transformer? ensure determinism by
+        # reusing identical rngs; continuous loss itself is deterministic
+        return create_train_state(
+            model, variables, optax.sgd(1e-2),
+            rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+
+    full = make_train_step("continuous", donate=False)
+    accum = make_train_step("continuous", donate=False, accum_steps=4)
+
+    s1, l1 = full(fresh(), text, images, actions)
+    s2, l2 = accum(fresh(), text, images, actions)
+    # identical data, deterministic losses -> same mean loss; grads equal
+    # up to accumulation-order float noise.  NOTE: patch_encoding rng
+    # differs per microbatch (folded) — micro config uses train-mode
+    # stochastic positions in the loss path, so allow a small tolerance.
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    max_diff = max(jax.tree.leaves(diffs))
+    assert max_diff < 5e-2, max_diff
+
+    with pytest.raises(ValueError, match="divisible"):
+        make_train_step("continuous", donate=False, accum_steps=3)(
+            fresh(), text, images, actions)
