@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 __all__ = ["CheckpointManager"]
@@ -31,8 +33,20 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state) -> bool:
-        """Async save; returns whether a save was started."""
-        return self._mgr.save(step, args=ocp.args.StandardSave(state))
+        """Async save; returns whether a save was started.
+
+        The state is snapshotted with device-side copies first: the async
+        serializer holds references to the arrays while the training loop's
+        next DONATED step deletes the original buffers — without the copy,
+        saving from a donated-step loop races into "Array has been deleted"
+        (observed on TPU; CPU ignores donation, so tests there can't catch
+        it).  The copy is enqueued before the next step can touch the
+        buffers, and costs one state-sized allocation at checkpoint
+        cadence only."""
+        snapshot = jax.tree.map(
+            lambda x: jnp.array(x, copy=True)
+            if isinstance(x, jax.Array) else x, state)
+        return self._mgr.save(step, args=ocp.args.StandardSave(snapshot))
 
     def restore(self, step: Optional[int] = None,
                 abstract_state: Optional[Any] = None):
