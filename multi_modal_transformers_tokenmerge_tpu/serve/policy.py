@@ -83,6 +83,8 @@ class PolicyEngine:
         self._compiled = None
         self._compiled_cached = None
         self._text_embeddings = None
+        self._warmup = False
+        self._zero_images = None
         # per-instance jit caches (an lru_cache on a method would key on
         # self and pin every engine — and its variables pytree — for the
         # life of the process)
@@ -97,7 +99,19 @@ class PolicyEngine:
         """
         self._text_embeddings = self._encode_text_fn()(
             self.variables, self._place(jnp.asarray(self._tokenize(text))))
+        if self._compiled_cached is not None and self._warmup:
+            # first execution of an AOT executable can be far more expensive
+            # than steady state (remote-backend upload/jit-finalization);
+            # absorb it here so serving threads never see it
+            self._warm(self._compiled_cached,
+                       (self.variables, self._text_embeddings,
+                        self._zero_images, jax.random.key_data(self._rng)))
         return self
+
+    @staticmethod
+    def _warm(fn, args):
+        import numpy as np
+        np.asarray(jax.tree.leaves(fn(*args))[0])
 
     def _place(self, batch_array):
         """Shard a batch-leading array over the mesh's data axis (no-op
@@ -142,8 +156,15 @@ class PolicyEngine:
         self._compiled = _Adapter()
         return self
 
-    def compile(self, text_shape, image_shape) -> "PolicyEngine":
-        """AOT-compile the predict function(s) for fixed input shapes."""
+    def compile(self, text_shape, image_shape,
+                warmup: bool = True) -> "PolicyEngine":
+        """AOT-compile the predict function(s) for fixed input shapes.
+
+        ``warmup`` runs each compiled executable once on zeros and blocks —
+        the FIRST execution of an AOT executable can cost orders of
+        magnitude more than steady state on remote-device backends, and a
+        serving thread must never absorb that (it blows request timeouts).
+        """
         if self.mesh is not None:
             from ..parallel.mesh import replicated
             rep, bat = replicated(self.mesh), self._batch_sharding
@@ -170,6 +191,15 @@ class PolicyEngine:
         text = mk((self.batch_size, *text_shape), jnp.int32)
         self._compiled = (
             jax.jit(fn).lower(var_shapes, text, images, key).compile())
+        self._warmup = warmup
+        self._zero_images = self._place(
+            jnp.zeros((self.batch_size, *image_shape), jnp.float32))
+        if warmup:
+            zero_text = self._place(
+                jnp.zeros((self.batch_size, *text_shape), jnp.int32))
+            self._warm(self._compiled,
+                       (self.variables, zero_text, self._zero_images,
+                        jax.random.key_data(self._rng)))
 
         if self.cache_text:
             cached_method = _CACHED_METHODS[self.head]
