@@ -88,7 +88,10 @@ def _flash_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
             s = jnp.where(mask != 0, s, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
+            # rows with no allowed key keep m_new at -1e30; clamping the
+            # exponent reference keeps their p at 0 (so l stays 0 and the
+            # final guard emits zeros) instead of exp(0) = 1 everywhere
+            p = jnp.exp(s - jnp.maximum(m_new, 0.5 * _NEG_INF))
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * alpha + jax.lax.dot_general(
@@ -350,7 +353,8 @@ def _flash_fwd_lse_kernel(k_hi_ref, seed_ref, q_ref, k_ref, v_ref, mask_ref,
             mask = mask_ref[:, pl.ds(i * block_k, block_k)]
             s = jnp.where(mask != 0, s, _NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
+            # see _flash_kernel: keep fully-masked rows at p = 0
+            p = jnp.exp(s - jnp.maximum(m_new, 0.5 * _NEG_INF))
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             if dropout_rate > 0.0:
@@ -395,7 +399,8 @@ def _flash_dq_kernel(k_hi_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                 preferred_element_type=jnp.float32) * sm_scale
             mask = mask_ref[:, pl.ds(i * block_k, block_k)]
             s = jnp.where(mask != 0, s, _NEG_INF)
-            p = jnp.exp(s - lse)                                   # (BQ, BK)
+            live = lse > 0.25 * _NEG_INF                # row attends anything
+            p = jnp.where(live, jnp.exp(s - lse), 0.0)             # (BQ, BK)
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (BQ, BK)
@@ -444,7 +449,8 @@ def _flash_dkv_kernel(q_lo_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
                 preferred_element_type=jnp.float32) * sm_scale     # (BQ, BK)
             mask = mask_ref[pl.ds(j * block_q, block_q), :]
             s = jnp.where(mask != 0, s, _NEG_INF)
-            p = jnp.exp(s - lse)
+            live = lse > 0.25 * _NEG_INF                # row attends anything
+            p = jnp.where(live, jnp.exp(s - lse), 0.0)
             if dropout_rate > 0.0:
                 # same (q-tile, k-tile) seeding as the forward/dq passes:
                 # j is the q-tile index here, ki the k-tile index

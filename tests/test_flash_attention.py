@@ -132,3 +132,41 @@ def test_native_forward_lse_path_matches(s=74):
                         interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_interior_fully_masked_rows_emit_zeros_and_zero_grads():
+    """A query row whose mask forbids EVERY key — sitting inside a tile
+    that other rows keep alive — must output zeros (not the unmasked mean
+    of V) and contribute zero gradients, through both backward paths."""
+    s = 16
+    mask = np.tril(np.ones((s, s), dtype=bool))
+    mask[5] = False  # dead row inside the live first tile
+    q, k, v = _rand_qkv(jax.random.PRNGKey(8), 2, s, 2, 8)
+
+    for backward in ("xla", "pallas"):
+        out = flash_attention(q, k, v, mask, block_q=8, block_k=8,
+                              interpret=True, backward=backward)
+        np.testing.assert_array_equal(np.asarray(out)[:, 5], 0.0)
+
+    # native backward: grads for q at the dead row are zero, and the mask's
+    # dead row contributes nothing to dk/dv
+    def loss(q_, k_, v_):
+        return jnp.sum(flash_attention(q_, k_, v_, mask, block_q=8,
+                                       block_k=8, interpret=True,
+                                       backward="pallas") ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_array_equal(np.asarray(dq)[:, 5], 0.0)
+
+    # the XLA softmax gives a dead row UNIFORM weights (exp(-1e30) ties);
+    # the kernel's semantics zero it — compare against a dead-row-aware
+    # reference that masks the row out of the loss
+    live = jnp.asarray(mask.any(axis=1), jnp.float32)[None, :, None, None]
+
+    def ref_loss(q_, k_, v_):
+        return jnp.sum((reference_attention(q_, k_, v_, mask) * live) ** 2)
+
+    ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip((dq, dk, dv), ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
