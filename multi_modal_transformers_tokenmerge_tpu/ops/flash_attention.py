@@ -481,13 +481,21 @@ def _flash_dkv_kernel(q_lo_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _xla_reference_attention(q, k, v, mask_bool):
     """Plain XLA masked attention — identical math to the kernel; used as
-    the differentiable function for the custom VJP backward."""
+    the differentiable function for the custom VJP backward.
+
+    Dead rows (no allowed key): the softmax alone would give them UNIFORM
+    weights (all logits tie at -1e30); the kernel emits zeros for them, so
+    the recompute function must too — otherwise the backward differentiates
+    a different function than the one that ran (spurious uniform
+    contributions to dk/dv)."""
     d = q.shape[-1]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits * (1.0 / math.sqrt(d))
     logits = jnp.where(mask_bool[None, None], logits, _NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)
+    live = jnp.any(mask_bool, axis=1)[None, None, :, None]
+    weights = jnp.where(live, weights, 0.0)
     return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(q.dtype), v)
 
 

@@ -56,21 +56,21 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis), P()),
+        in_specs=(P(None, axis), P(None, axis), P(None, axis), P(axis)),
         out_specs=P(None, axis),
         check_vma=False)
-    def run(q, k, v, mask_full):
+    def run(q, k, v, mask_rows):
+        # mask_rows: (S/P, S) — only this device's QUERY rows of the mask
+        # are ever read, so the mask shards with the queries instead of
+        # replicating O(S^2) bytes onto every chip
         idx = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % p) for i in range(p)]
         q32 = q.astype(jnp.float32)
 
-        def ring_step(carry, r):
-            m, l, acc, k_blk, v_blk = carry
-            # the visiting K/V block originated on device (idx - r) mod p
-            src = jax.lax.rem(idx - r + p, p)
+        def merge_block(carry, k_blk, v_blk, src):
+            m, l, acc = carry
             mask_tile = jax.lax.dynamic_slice(
-                mask_full, (idx * s_local, src * s_local),
-                (s_local, s_local))
+                mask_rows, (0, src * s_local), (s_local, s_local))
             st = jnp.einsum("bqhd,bkhd->bhqk", q32,
                             k_blk.astype(jnp.float32)) * scale
             st = jnp.where(mask_tile[None, None] != 0, st, _NEG_INF)
@@ -85,14 +85,28 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
             acc_new = (acc * alpha[..., None]
                        + jnp.einsum("bhqk,bkhd->bhqd", pr,
                                     v_blk.astype(jnp.float32)))
-            k_blk, v_blk = jax.lax.ppermute((k_blk, v_blk), axis, perm)
-            return (m_new, l_new, acc_new, k_blk, v_blk), None
+            return m_new, l_new, acc_new
 
         m0 = jnp.full((b, h, s_local), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((b, h, s_local), jnp.float32)
         acc0 = jnp.zeros((b, h, s_local, d), jnp.float32)
-        (m, l, acc, _, _), _ = jax.lax.scan(
-            ring_step, (m0, l0, acc0, k, v), jnp.arange(p))
+
+        # local block first (no communication), then p-1 ring steps with
+        # the permute BEFORE the compute — exactly p-1 collectives, no
+        # discarded final hop
+        carry = merge_block((m0, l0, acc0), k, v, idx)
+
+        def ring_step(state, r):
+            carry, k_blk, v_blk = state
+            k_blk, v_blk = jax.lax.ppermute((k_blk, v_blk), axis, perm)
+            src = jax.lax.rem(idx - r + p, p)
+            carry = merge_block(carry, k_blk, v_blk, src)
+            return (carry, k_blk, v_blk), None
+
+        if p > 1:
+            (carry, _, _), _ = jax.lax.scan(
+                ring_step, (carry, k, v), jnp.arange(1, p))
+        m, l, acc = carry
         # fully-masked (padding) rows: emit zeros, not NaN
         out = acc / jnp.maximum(l, 1e-30)[..., None]           # (B, H, Q, D)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)

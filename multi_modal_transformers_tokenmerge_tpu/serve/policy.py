@@ -99,13 +99,6 @@ class PolicyEngine:
         """
         self._text_embeddings = self._encode_text_fn()(
             self.variables, self._place(jnp.asarray(self._tokenize(text))))
-        if self._compiled_cached is not None and self._warmup:
-            # first execution of an AOT executable can be far more expensive
-            # than steady state (remote-backend upload/jit-finalization);
-            # absorb it here so serving threads never see it
-            self._warm(self._compiled_cached,
-                       (self.variables, self._text_embeddings,
-                        self._zero_images, jax.random.key_data(self._rng)))
         return self
 
     @staticmethod
@@ -216,6 +209,16 @@ class PolicyEngine:
             self._compiled_cached = (
                 jax.jit(fn_cached).lower(var_shapes, text_emb, images,
                                          key).compile())
+            if warmup:
+                # warm the cached-path executable ONCE here (zero
+                # embeddings suffice) — instruction switches then never
+                # pay first-execution or warm-up cost again
+                zero_emb = self._place(jnp.zeros(
+                    (self.batch_size, *text_shape, emb_dim),
+                    self.model.config.compute_dtype))
+                self._warm(self._compiled_cached,
+                           (self.variables, zero_emb, self._zero_images,
+                            jax.random.key_data(self._rng)))
         return self
 
     # -- serving ---------------------------------------------------------

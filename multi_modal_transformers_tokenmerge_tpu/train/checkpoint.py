@@ -43,9 +43,14 @@ class CheckpointManager:
         it).  The copy is enqueued before the next step can touch the
         buffers, and costs one state-sized allocation at checkpoint
         cadence only."""
+        # non-fully-addressable (multi-host) arrays cannot be copied with
+        # an eager op — orbax handles global arrays natively, so leave them
+        # as-is (multi-host donated-loop callers should use donate=False
+        # steps or call wait() before the next step)
         snapshot = jax.tree.map(
             lambda x: jnp.array(x, copy=True)
-            if isinstance(x, jax.Array) else x, state)
+            if isinstance(x, jax.Array) and x.is_fully_addressable else x,
+            state)
         return self._mgr.save(step, args=ocp.args.StandardSave(snapshot))
 
     def restore(self, step: Optional[int] = None,

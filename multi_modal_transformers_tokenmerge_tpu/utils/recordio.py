@@ -163,7 +163,7 @@ class RecordReader:
 
     def __init__(self, path: str, batch_size: int, shuffle_seed=None,
                  num_threads: int = 2, queue_depth: int = 4,
-                 backend: str = "auto"):
+                 backend: str = "auto", copy_fields: bool = False):
         self.path = path
         self.batch_size = batch_size
         self.schema, self.record_size, self.num_records, self._data_off = (
@@ -173,6 +173,7 @@ class RecordReader:
                 f"batch_size {batch_size} invalid for "
                 f"{self.num_records} records")
         self.shuffle_seed = shuffle_seed
+        self.copy_fields = copy_fields
         if backend == "auto":
             backend = "native" if _native_available() else "numpy"
         self.backend = backend
@@ -202,15 +203,23 @@ class RecordReader:
         return self.num_records // self.batch_size
 
     def _split(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
-        """One batch buffer -> per-field arrays, ZERO-copy: the records
-        are reinterpreted through a structured dtype, so each field is a
-        view into the batch buffer (no per-field ascontiguousarray pass —
-        device_put consumes strided views fine)."""
+        """One batch buffer -> per-field arrays, ZERO-copy by default: the
+        records are reinterpreted through a structured dtype, so each field
+        is a view into the batch buffer (device_put consumes strided views
+        fine).  Caveat of views: every field shares the batch buffer as
+        ``.base`` — retaining one small field pins the whole batch's
+        memory, and the fields alias one mutable buffer.  Consumers that
+        hold fields beyond the step (or mutate them) should construct the
+        reader with ``copy_fields=True`` for independent per-field arrays.
+        """
         rec_dtype = np.dtype([(name, np.dtype(dt), tuple(shape))
                               for name, shape, dt in self.schema])
         assert rec_dtype.itemsize == self.record_size, (
             rec_dtype.itemsize, self.record_size)
         recs = flat.view(rec_dtype)
+        if self.copy_fields:
+            return {name: np.ascontiguousarray(recs[name])
+                    for name, _, _ in self.schema}
         return {name: recs[name] for name, _, _ in self.schema}
 
     def _next_numpy(self) -> np.ndarray:

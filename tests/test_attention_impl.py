@@ -71,29 +71,48 @@ def test_explicit_flash_returns_fn():
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
 
 
-def test_plain_four_arg_attention_fn_still_works_with_dropout_config():
-    """A user hook with the documented (q, k, v, mask) signature must keep
-    working even when the module trains with attention-weight dropout
-    (the rng kwarg is only passed to hooks that accept it)."""
+def test_attention_fn_hook_dropout_contract():
+    """A 4-arg hook works deterministically and with dropout_rate=0; with
+    dropout CONFIGURED and training, a hook that cannot take dropout_rng
+    fails loudly (never silently un-regularized), while a **kwargs hook
+    receives the rng."""
     import jax
     import jax.numpy as jnp
+    import pytest
     from multi_modal_transformers_tokenmerge_tpu.core.config import (
         AttentionConfig)
     from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
         MultiHeadAttention)
 
-    calls = []
-
     def hook(q, k, v, mask):
-        calls.append(q.shape)
         return jax.nn.dot_product_attention(
             q, k, v, mask=None if mask is None else mask[None, None])
 
+    x = jnp.ones((2, 8, 16))
+
+    # deterministic pass: fine with any hook
     mha = MultiHeadAttention(
         AttentionConfig(num_heads=2, qkv_features=16, dropout_rate=0.5),
         attention_fn=hook)
-    x = jnp.ones((2, 8, 16))
     v = mha.init({"params": jax.random.PRNGKey(0)}, x)
-    out = mha.apply(v, x, deterministic=False,
-                    rngs={"dropout": jax.random.PRNGKey(1)})
-    assert out.shape == x.shape and calls
+    assert mha.apply(v, x, deterministic=True).shape == x.shape
+
+    # training with configured dropout + incapable hook: loud error
+    with pytest.raises(ValueError, match="dropout_rng"):
+        mha.apply(v, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+
+    # a **kwargs hook receives the rng
+    seen = {}
+
+    def hook_kw(q, k, v, mask, **kw):
+        seen.update(kw)
+        return hook(q, k, v, mask)
+
+    mha2 = MultiHeadAttention(
+        AttentionConfig(num_heads=2, qkv_features=16, dropout_rate=0.5),
+        attention_fn=hook_kw)
+    v2 = mha2.init({"params": jax.random.PRNGKey(0)}, x)
+    out = mha2.apply(v2, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == x.shape and "dropout_rng" in seen

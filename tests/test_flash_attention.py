@@ -158,6 +158,25 @@ def test_interior_fully_masked_rows_emit_zeros_and_zero_grads():
     dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     np.testing.assert_array_equal(np.asarray(dq)[:, 5], 0.0)
 
+    # xla-recompute backward: its reference is dead-row-aware, so its
+    # grads agree with the kernel's zero-output semantics too (regression:
+    # the plain softmax reference gave the dead row UNIFORM weights and
+    # polluted dk/dv with 1/S contributions)
+    from multi_modal_transformers_tokenmerge_tpu.ops import (
+        flash_attention as fa)
+    out = flash_attention(q, k, v, mask, block_q=8, block_k=8,
+                          interpret=True, backward="pallas")
+    mask_key = fa._register_mask(mask)
+    g = 2.0 * out  # cotangent of sum(out**2)
+    dq_x, dk_x, dv_x = fa._flash_vjp_bwd(mask_key, 8, 8,
+                                         (q, k, v, jnp.asarray(mask)), g)
+    np.testing.assert_allclose(np.asarray(dq_x), np.asarray(dq),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk_x), np.asarray(dk),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv_x), np.asarray(dv),
+                               rtol=1e-4, atol=1e-5)
+
     # the XLA softmax gives a dead row UNIFORM weights (exp(-1e30) ties);
     # the kernel's semantics zero it — compare against a dead-row-aware
     # reference that masks the row out of the loss
