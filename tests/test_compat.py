@@ -76,3 +76,101 @@ def test_compat_misc_functions():
     assert compat.cosine_beta_schedule(32).shape == (32,)
     img = jnp.zeros((8, 8, 3))
     assert compat.image_to_patches(img, 4, True).shape == (4, 4, 4, 3)
+
+
+def test_reference_param_converter_handles_auto_numbered_names():
+    """convert_reference_octo_params documents support for hydra's
+    auto-numbered flax names (Conv_0/GroupNorm_0/Embed_0/...); build such a
+    tree by renaming an attr-named one and check both convert identically."""
+    import numpy as np
+
+    from multi_modal_transformers_tokenmerge_tpu.compat import (
+        convert_reference_octo_params)
+
+    rng = np.random.default_rng(0)
+    arr = lambda *s: rng.normal(size=s).astype(np.float32)
+    E, A, T = 32, 8, 16
+
+    dense = lambda i, o: {"kernel": arr(i, o), "bias": arr(o)}
+    attr_named = {
+        "text_encoder": {"embedding": {"embedding": arr(64, E)},
+                         "position_embedding": {"embedding": arr(4, E)}},
+        "image_encoder": {
+            "resnet": {"input_conv": dense(8, 8),
+                       "resnet_norm": {"scale": arr(8), "bias": arr(8)},
+                       "resnet_conv": dense(8, 8),
+                       "output_dense": dense(200, E)},
+            "row_position_embedding": {"embedding": arr(3, E)},
+            "col_position_embedding": {"embedding": arr(3, E)},
+        },
+        "readout_encoder": {"pos_embedding": arr(1, 8, E)},
+        "attention_blocks": {
+            "posembed_input": {"pos_embedding": arr(1, 20, E)},
+            "ScanEncoder1DBlock_0": {
+                "LayerNorm_0": {"scale": arr(2, E), "bias": arr(2, E)},
+                "LayerNorm_1": {"scale": arr(2, E), "bias": arr(2, E)},
+                "MultiHeadDotProductAttention_0": {
+                    "query": {"kernel": arr(2, E, 2, 16)},
+                    "key": {"kernel": arr(2, E, 2, 16)},
+                    "value": {"kernel": arr(2, E, 2, 16)},
+                    "out": {"kernel": arr(2, 2, 16, E)}},
+                "Dense_0": {"kernel": arr(2, E, 64), "bias": arr(2, 64)},
+                "Dense_1": {"kernel": arr(2, 64, E), "bias": arr(2, E)},
+            }},
+        "continuous_action_head": {"dense": dense(E, A)},
+        "diffusion_action_head": {"denoising_model": {
+            "time_encoder": {
+                "fourier_kernel": arr(8, 1),
+                "mlp_block": {"dense": dense(1, 32),
+                              "dense_out": dense(32, T)}},
+            "mlp_block": {"dense": dense(A + T + E, 32),
+                          "dense_out": dense(32, A)}}},
+    }
+
+    # auto-numbered variant: rename per hydra's in-call instantiation order
+    auto = {
+        "text_encoder": {"Embed_0": attr_named["text_encoder"]["embedding"],
+                         "Embed_1":
+                             attr_named["text_encoder"]["position_embedding"]},
+        "image_encoder": {
+            "embedding_function": {
+                "Conv_0": attr_named["image_encoder"]["resnet"]["input_conv"],
+                "GroupNorm_0":
+                    attr_named["image_encoder"]["resnet"]["resnet_norm"],
+                "Conv_1": attr_named["image_encoder"]["resnet"]["resnet_conv"],
+                "Dense_0":
+                    attr_named["image_encoder"]["resnet"]["output_dense"]},
+            "Embed_0":
+                attr_named["image_encoder"]["row_position_embedding"],
+            "Embed_1":
+                attr_named["image_encoder"]["col_position_embedding"],
+        },
+        "readout_encoder": attr_named["readout_encoder"],
+        "attention_blocks": attr_named["attention_blocks"],
+        "continuous_action_head": {
+            "Dense_0": attr_named["continuous_action_head"]["dense"]},
+        "diffusion_action_head": {"denoiser": {
+            "FourierFeatures_0": {
+                "fourier_kernel": (attr_named["diffusion_action_head"]
+                                   ["denoising_model"]["time_encoder"]
+                                   ["fourier_kernel"]),
+                "MLPBlock_0": {
+                    "Dense_0": (attr_named["diffusion_action_head"]
+                                ["denoising_model"]["time_encoder"]
+                                ["mlp_block"]["dense"]),
+                    "Dense_1": (attr_named["diffusion_action_head"]
+                                ["denoising_model"]["time_encoder"]
+                                ["mlp_block"]["dense_out"])}},
+            "MLPBlock_1": {
+                "Dense_0": (attr_named["diffusion_action_head"]
+                            ["denoising_model"]["mlp_block"]["dense"]),
+                "Dense_1": (attr_named["diffusion_action_head"]
+                            ["denoising_model"]["mlp_block"]["dense_out"])},
+        }},
+    }
+
+    a = convert_reference_octo_params(attr_named)
+    b = convert_reference_octo_params(auto)
+    import jax
+    assert jax.tree.structure(a) == jax.tree.structure(b)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(x, y), a, b)
