@@ -112,3 +112,30 @@ def test_ring_fully_masked_rows_emit_zeros():
     live = [i for i in range(S) if i not in (5, S - 3)]
     np.testing.assert_allclose(out[:, live], ref[:, live],
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_ring_random_blocky_masks_property(seed):
+    """Property sweep: random block-structured masks (incl. occasional dead
+    rows) on random ring sizes must match the dead-row-aware reference."""
+    rng = np.random.default_rng(seed)
+    ring = int(rng.choice([2, 4, 8]))
+    # random block-causal-ish structure
+    mask = np.zeros((S, S), dtype=bool)
+    edges = np.sort(rng.choice(np.arange(4, S - 4), size=3, replace=False))
+    blocks = np.split(np.arange(S), edges)
+    for bi, rows in enumerate(blocks):
+        for bj, cols in enumerate(blocks):
+            if bj <= bi and rng.random() < 0.8:
+                mask[np.ix_(rows, cols)] = True
+    dead = rng.choice(S, size=2, replace=False)
+    mask[dead] = False
+
+    mesh = Mesh(np.asarray(jax.devices()[:ring]), ("seq",))
+    q, k, v = _qkv(seed + 10)
+    out = np.asarray(ring_attention(q, k, v, mask, mesh))
+    ref = np.asarray(_reference(q, k, v, mask))
+    live = mask.any(axis=1)
+    np.testing.assert_array_equal(out[:, ~live], 0.0)
+    np.testing.assert_allclose(out[:, live], ref[:, live],
+                               rtol=2e-5, atol=2e-5)
