@@ -189,3 +189,39 @@ def test_interior_fully_masked_rows_emit_zeros_and_zero_grads():
     for a, b in zip((dq, dk, dv), ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_flash_random_blocky_masks_property(seed):
+    """Property sweep mirroring the ring-attention one: random block masks
+    (occasional dead rows) through the interpret-mode kernel, forward and
+    native backward, vs the dead-row-aware reference."""
+    s = 32
+    rng = np.random.default_rng(seed)
+    mask = np.zeros((s, s), dtype=bool)
+    edges = np.sort(rng.choice(np.arange(4, s - 4), size=2, replace=False))
+    blocks = np.split(np.arange(s), edges)
+    for bi, rows in enumerate(blocks):
+        for bj, cols in enumerate(blocks):
+            if bj <= bi and rng.random() < 0.8:
+                mask[np.ix_(rows, cols)] = True
+    mask[rng.choice(s, size=2, replace=False)] = False
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(seed + 20), 2, s, 2, 8)
+    out = flash_attention(q, k, v, mask, block_q=8, block_k=8,
+                          interpret=True, backward="pallas")
+    live_rows = mask.any(axis=1)
+    live = jnp.asarray(live_rows, jnp.float32)[None, :, None, None]
+    ref = reference_attention(q, k, v, mask) * live
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g_ours = jax.grad(lambda q_, k_, v_: jnp.sum(flash_attention(
+        q_, k_, v_, mask, block_q=8, block_k=8, interpret=True,
+        backward="pallas") ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q_, k_, v_: jnp.sum(
+        (reference_attention(q_, k_, v_, mask) * live) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
