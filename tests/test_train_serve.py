@@ -303,3 +303,34 @@ def test_gradient_accumulation_matches_full_batch():
     with pytest.raises(ValueError, match="divisible"):
         make_train_step("continuous", donate=False, accum_steps=3)(
             fresh(), text, images, actions)
+
+
+def test_gradient_accumulation_diffusion_head_rng_folding():
+    """accum_steps with the diffusion head: per-microbatch rngs fold by
+    index (independent diffusion-time draws), losses finite, state
+    advances one step per call."""
+    import optax
+
+    from micro_configs import octo_micro
+
+    cfg = octo_micro()
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    rng = np.random.default_rng(1)
+    B = 8
+    text = jnp.asarray(rng.integers(0, 64, (B, 4)), dtype=jnp.int32)
+    images = jnp.asarray(rng.uniform(0, 255, (B, 64, 64, 3)),
+                         dtype=jnp.float32)
+    actions = jnp.asarray(rng.uniform(-1, 1, (B, 4)), dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]}, text, images)
+    state = create_train_state(
+        model, variables, optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1],
+              "diffusion": keys[3]})
+    step = make_train_step("diffusion", donate=False, accum_steps=2)
+    s1, l1 = step(state, text, images, actions)
+    s2, l2 = step(s1, text, images, actions)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert int(s2.step) == int(state.step) + 2
