@@ -30,7 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "make_attention_fn"]
+__all__ = ["flash_attention", "make_attention_fn", "flash_fwd_lse",
+           "flash_bwd", "tile_skip_tables"]
 
 _NEG_INF = -1e30
 
@@ -264,7 +265,14 @@ def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, seed, *,
     return unflat(dq), unflat(dk), unflat(dv)
 
 
-@functools.lru_cache(maxsize=None)
+# Table caches are bounded consistently with _MASK_REGISTRY (which holds 64
+# masks): a few tile-size variants per registered mask.  Unbounded caches
+# here would leak slowly under many distinct masks while the registry
+# itself stays bounded (VERDICT r2 item 8).
+_TABLE_CACHE_MAX = 256
+
+
+@functools.lru_cache(maxsize=_TABLE_CACHE_MAX)
 def _qlo_table(mask_key, block_q: int, block_k: int):
     """Per-k-tile lowest q-tile index with any allowed attention."""
     padded, _ = _mask_tables(mask_key, block_q, block_k)
@@ -279,7 +287,7 @@ def _qlo_table(mask_key, block_q: int, block_k: int):
     return q_lo
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=_TABLE_CACHE_MAX)
 def _mask_tables(mask_key, block_q: int, block_k: int):
     mask = np.asarray(_MASK_REGISTRY[mask_key])
     s = mask.shape[0]
@@ -477,6 +485,59 @@ def _flash_dkv_kernel(q_lo_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
         dk, dv = jax.lax.fori_loop(q_lo, num_q_blocks, body, (dk0, dv0))
         dk_ref[0, :, h * d:(h + 1) * d] = (dk * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, :, h * d:(h + 1) * d] = dv.astype(dv_ref.dtype)
+
+
+def tile_skip_tables(mask: np.ndarray, block_q: int, block_k: int):
+    """Static (k_hi, q_lo) skip tables for one square mask tile.
+
+    Unlike ``_mask_tables`` (which keys on the registry), this takes the
+    tile directly — used by parallel.ring_attention to precompute tables
+    for every (query-shard, key-shard) pair of a sequence-sharded mask;
+    the tables are then *data* (stacked, gathered per ring step) rather
+    than baked constants.  ``mask`` must already be tile-aligned."""
+    s_q, s_k = mask.shape
+    if s_q % block_q or s_k % block_k:
+        raise ValueError(f"mask tile {mask.shape} not divisible by blocks "
+                         f"({block_q}, {block_k})")
+    num_q, num_k = s_q // block_q, s_k // block_k
+    m = mask.astype(bool)
+    k_hi = np.zeros((num_q,), np.int32)
+    for qi in range(num_q):
+        cols = np.nonzero(m[qi * block_q:(qi + 1) * block_q].any(axis=0))[0]
+        k_hi[qi] = 0 if cols.size == 0 else (cols.max() // block_k) + 1
+    q_lo = np.zeros((num_k,), np.int32)
+    for ki in range(num_k):
+        rows = np.nonzero(m[:, ki * block_k:(ki + 1) * block_k].any(axis=1))[0]
+        q_lo[ki] = num_q if rows.size == 0 else rows.min() // block_q
+    return k_hi, q_lo
+
+
+def flash_fwd_lse(q, k, v, mask_i8, k_hi, *, block_q, block_k,
+                  interpret=False):
+    """Forward flash attention returning ``(out, lse)`` with the mask tile
+    and k_hi skip table passed as TRACED arrays (values may be selected
+    dynamically, e.g. per ring step).  Shapes: q/k/v (B, S, H, D) with S
+    == mask side; mask pre-padded to tile multiples.  Not differentiable
+    on its own — parallel.ring_attention wraps it in a ring-level VJP."""
+    seed = jnp.asarray(_ZERO_SEED)
+    return _flash_fwd_lse_impl(
+        q, k, v, mask_i8, k_hi, seed, mask_key="__dynamic__",
+        block_q=block_q, block_k=block_k, interpret=interpret,
+        dropout_rate=0.0)
+
+
+def flash_bwd(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *, block_q,
+              block_k, interpret=False):
+    """Backward flash kernels (dq, dk, dv) with traced mask/tables — the
+    ring-step counterpart of ``flash_fwd_lse``.  ``lse``/``delta`` are the
+    (B, H, S) row statistics of the FULL softmax (already merged across
+    ring steps), so per-step probabilities reconstruct the exact global
+    weights."""
+    seed = jnp.asarray(_ZERO_SEED)
+    return _flash_bwd_impl(
+        q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, seed,
+        mask_key="__dynamic__", block_q=block_q, block_k=block_k,
+        interpret=interpret, dropout_rate=0.0)
 
 
 def _xla_reference_attention(q, k, v, mask_bool):

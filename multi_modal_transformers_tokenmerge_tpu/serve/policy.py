@@ -124,6 +124,11 @@ class PolicyEngine:
                     "pre-tokenized ids")
             if isinstance(text, str):
                 text = [text] * self.batch_size
+            if len(text) != self.batch_size:
+                raise ValueError(
+                    f"got {len(text)} instruction strings for batch_size "
+                    f"{self.batch_size}; pass one string (broadcast) or "
+                    f"exactly batch_size strings")
             return self.tokenizer(list(text))
         return text
 

@@ -61,8 +61,8 @@ def fit(state: OctoTrainState,
             step_no = int(state.step)
             logger.log({**metrics, "last_loss": float(loss)}, step=step_no)
             if reset_metrics_on_log and (i + 1) < num_steps:
-                from .state import Metrics
-                state = state.replace(metrics=Metrics.empty())
+                # same declaration -> same treedef -> no re-jit of step
+                state = state.replace(metrics=state.metrics.zeros_like())
         if checkpointer is not None and (i + 1) % checkpoint_every == 0:
             checkpointer.save(int(state.step), state)
 

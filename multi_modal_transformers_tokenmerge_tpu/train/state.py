@@ -20,29 +20,81 @@ __all__ = ["Metrics", "OctoTrainState", "create_train_state"]
 
 @flax.struct.dataclass
 class Metrics:
-    """Running averages of training loss and gradient norm (jit-friendly,
-    mergeable — mirrors clu's Average collection used by the reference,
-    octo.py:322-324, plus grad-norm observability the reference lacks)."""
+    """Named mergeable metric collection (jit-friendly, donation-safe —
+    generalizes clu's collections used by the reference, octo.py:322-324).
 
-    loss_sum: jax.Array
-    grad_norm_sum: jax.Array
+    Each metric has a static *kind*: ``'avg'`` (sum / update count, clu
+    Average) or ``'sum'`` (plain accumulator).  The set of names and kinds
+    is part of the (static) pytree structure, so a given declaration
+    compiles once and the accumulator dict is a plain donatable pytree.
+
+    Default declaration matches round-2 behavior: running averages of
+    ``loss`` and ``grad_norm``.  Declare more with e.g.
+    ``Metrics.empty(loss='avg', l2_head='avg', tokens='sum')`` and feed
+    them per step via ``metrics.update(loss=..., l2_head=..., tokens=...)``.
+    Metrics not passed to ``update`` keep their accumulator unchanged (the
+    update count still advances — averages treat a missing value as 0).
+    """
+
+    sums: Dict[str, jax.Array]
     count: jax.Array
+    # (name, kind) pairs; tuple (hashable) so jit treedef comparison works.
+    kinds: tuple = flax.struct.field(
+        pytree_node=False, default=(("grad_norm", "avg"), ("loss", "avg")))
 
     @classmethod
-    def empty(cls) -> "Metrics":
-        return cls(loss_sum=jnp.zeros((), jnp.float32),
-                   grad_norm_sum=jnp.zeros((), jnp.float32),
-                   count=jnp.zeros((), jnp.float32))
+    def empty(cls, **declared: str) -> "Metrics":
+        """``Metrics.empty()`` → loss/grad_norm averages (compat);
+        ``Metrics.empty(name='avg'|'sum', ...)`` → custom collection."""
+        if not declared:
+            declared = {"loss": "avg", "grad_norm": "avg"}
+        for name, kind in declared.items():
+            if kind not in ("avg", "sum"):
+                raise ValueError(
+                    f"metric {name!r}: kind must be 'avg' or 'sum', "
+                    f"got {kind!r}")
+        kinds = tuple(sorted(declared.items()))
+        return cls(sums={n: jnp.zeros((), jnp.float32) for n, _ in kinds},
+                   count=jnp.zeros((), jnp.float32), kinds=kinds)
 
-    def update(self, loss, grad_norm=0.0) -> "Metrics":
-        return Metrics(loss_sum=self.loss_sum + loss,
-                       grad_norm_sum=self.grad_norm_sum + grad_norm,
-                       count=self.count + 1.0)
+    def zeros_like(self) -> "Metrics":
+        """Fresh empty collection with the same declaration (same treedef
+        — safe to swap into a donated state between logging windows)."""
+        return Metrics(
+            sums={n: jnp.zeros((), jnp.float32) for n in self.sums},
+            count=jnp.zeros((), jnp.float32), kinds=self.kinds)
+
+    def update(self, loss=None, grad_norm=None, **values) -> "Metrics":
+        """Accumulate one step's values (positional compat for the two
+        default metrics: ``metrics.update(loss, grad_norm)``)."""
+        if loss is not None:
+            values["loss"] = loss
+        if grad_norm is not None:
+            values["grad_norm"] = grad_norm
+        unknown = set(values) - set(self.sums)
+        if unknown:
+            raise KeyError(
+                f"metrics {sorted(unknown)} not declared; declared: "
+                f"{sorted(self.sums)} (use Metrics.empty(name=kind, ...))")
+        new_sums = {n: (s + values[n] if n in values else s)
+                    for n, s in self.sums.items()}
+        return self.replace(sums=new_sums, count=self.count + 1.0)
+
+    def merge(self, other: "Metrics") -> "Metrics":
+        """Merge two collections with the same declaration (clu-style —
+        e.g. across eval shards or logging windows)."""
+        if self.kinds != other.kinds:
+            raise ValueError(f"cannot merge metric collections with "
+                             f"different declarations: {self.kinds} vs "
+                             f"{other.kinds}")
+        return self.replace(
+            sums={n: s + other.sums[n] for n, s in self.sums.items()},
+            count=self.count + other.count)
 
     def compute(self) -> Dict[str, jax.Array]:
         denom = jnp.maximum(self.count, 1.0)
-        return {"loss": self.loss_sum / denom,
-                "grad_norm": self.grad_norm_sum / denom}
+        return {n: (self.sums[n] / denom if kind == "avg" else self.sums[n])
+                for n, kind in self.kinds}
 
 
 class OctoTrainState(flax.struct.PyTreeNode):
@@ -83,17 +135,19 @@ class OctoTrainState(flax.struct.PyTreeNode):
 def create_train_state(model, variables, optimizer,
                        rngs: Dict[str, jax.Array],
                        text_tokenize_fn=None,
-                       ema_decay: float = 0.0) -> OctoTrainState:
+                       ema_decay: float = 0.0,
+                       metrics: Metrics | None = None) -> OctoTrainState:
     """``ema_decay > 0`` tracks an exponential moving average of the
     parameters (updated inside the jitted step); serve from
-    ``{"params": state.ema_params}``."""
+    ``{"params": state.ema_params}``.  ``metrics`` overrides the default
+    loss/grad_norm collection (see ``Metrics.empty(**declared)``)."""
     params = variables["params"]
     return OctoTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
         rngs=rngs,
-        metrics=Metrics.empty(),
+        metrics=metrics if metrics is not None else Metrics.empty(),
         apply_fn=model.apply,
         tx=optimizer,
         text_tokenize_fn=text_tokenize_fn,
