@@ -190,7 +190,9 @@ def main():
         from multi_modal_transformers_tokenmerge_tpu.models.presets import (
             octo_multicam)
         base_mc = octo_multicam()
-        tome_mc = base_mc.replace(
+        base_mc = base_mc.replace(images=base_mc.images.replace(
+            resnet=base_mc.images.resnet.replace(conv_layout="nhwc")))
+        tome_mc = octo_multicam().replace(
             compression_sequence=("[TaskDescriptionPrefix{0}] "
                                   "[Image{2};Image{2};Readout{0}]*2"),
             transformer=base_mc.transformer.replace(
@@ -202,8 +204,12 @@ def main():
         }
         metric_tag = "octo_multicam"
     else:
+        # baseline stays architecture-faithful: f32 AND the flax-standard
+        # NHWC conv path — the batch-in-lanes layout is one of OUR
+        # TPU-specific optimizations and must not leak into the baseline
         configs = {
-            "baseline_f32": load_config("octo_base"),
+            "baseline_f32": load_config(
+                "octo_base", ["images.resnet.conv_layout=nhwc"]),
             "ours_bf16": load_config("octo_base", ["dtype=bfloat16"]),
             "ours_bf16_tome": load_config("octo_base_tome",
                                           ["dtype=bfloat16"]),
@@ -342,6 +348,40 @@ def bench_int8_text(model_vars, images_stack, text, peak, bf16_entry):
             raise SystemExit(1)
     log(f"[bench] int8_text: {BATCH/sec:.0f} inf/s ({sec*1e3:.2f} ms/call, "
         f"{out['speedup_vs_bf16_tower']}x vs bf16 tower)")
+
+    # --- regime sweep (VERDICT r2 item 9): where int8 actually pays.
+    # At batch 32 the tower is MXU-bound and int8 is a wash end-to-end; at
+    # batch 1 (uncached-instruction serving) the 110M-param tower is
+    # WEIGHT-BANDWIDTH-bound, which is exactly what int8 halves.
+    def tower_step_bf16(i, variables, text, key):
+        t = text + (i % 2).astype(text.dtype) * 0  # keep i live
+        emb = model.apply(variables, t, method="encode_text")
+        return jnp.sum(emb.astype(jnp.float32)) + 0.0 * key[0]
+
+    def tower_step_int8(i, qp, text, key):
+        t = text + (i % 2).astype(text.dtype) * 0
+        emb = t5_encode_int8(
+            qp, t, rel_pos_buckets=tcfg.t5_rel_pos_buckets,
+            rel_pos_max_distance=tcfg.t5_rel_pos_max_distance,
+            dtype=model.config.compute_dtype)
+        return jnp.sum(emb.astype(jnp.float32)) + 0.0 * key[0]
+
+    sweep = {}
+    for bsz in (1, BATCH):
+        t_b = jnp.ones((bsz, text.shape[1]), text.dtype)
+        kf = jnp.zeros((2,), jnp.float32)
+        s_bf = sec_per_call(build_loop(tower_step_bf16),
+                            (variables, t_b, kf), f"text_tower_bf16_b{bsz}")
+        s_i8 = sec_per_call(build_loop(tower_step_int8),
+                            (qp, t_b, kf), f"text_tower_int8_b{bsz}")
+        sweep[f"b{bsz}"] = {
+            "bf16_ms": round(s_bf * 1e3, 3),
+            "int8_ms": round(s_i8 * 1e3, 3),
+            "int8_speedup": round(s_bf / s_i8, 3),
+        }
+        log(f"[bench] text tower b={bsz}: bf16 {s_bf*1e3:.3f} ms, "
+            f"int8 {s_i8*1e3:.3f} ms ({s_bf/s_i8:.2f}x)")
+    out["tower_only_sweep"] = sweep
     return out
 
 

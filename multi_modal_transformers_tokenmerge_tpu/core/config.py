@@ -70,6 +70,13 @@ class ResNetEmbedderConfig(_Replaceable):
     # reduction_axes = every non-leading dim).  'patch' computes standard
     # per-patch stats — each patch normalized independently.
     norm_stats_scope: str = "image"  # 'image' | 'patch'
+    # Conv data layout.  'hwcn' (default) keeps intermediates logically
+    # (H, W, C, N) so the patch-batch dim sits in lanes — the layout XLA's
+    # TPU conv emitter prefers (measured ~7x on the 3x3/64ch blocks vs the
+    # channels-minor mid-graph default; benchmarks/recorded/
+    # embedder_profile_r3.json).  'nhwc' is the flax-standard path kept
+    # for A/B and non-TPU debugging.  Math and parameters are identical.
+    conv_layout: str = "hwcn"  # 'hwcn' | 'nhwc'
 
 
 @dataclass(frozen=True)
