@@ -398,14 +398,22 @@ def bench_train(cfg, images_stack, text, peak):
     from multi_modal_transformers_tokenmerge_tpu.train.steps import (
         make_train_step)
 
+    from multi_modal_transformers_tokenmerge_tpu.train.optim import (
+        mask_frozen)
+
     model = Octo(cfg)
     keys = jax.random.split(jax.random.PRNGKey(3), 4)
     variables = jax.jit(model.init)(
         {"params": keys[0], "patch_encoding": keys[1],
          "dropout": keys[2], "diffusion": keys[3]},
         text, images_stack[0])
+    # the T5 tower is frozen (stop_gradient, as in the reference) — mask
+    # it out of the optimizer so its 110M params carry no m/v traffic
+    tx = optax.adamw(1e-4)
+    if cfg.text.kind == "t5":
+        tx = mask_frozen(tx, variables["params"])
     state0 = create_train_state(
-        model, variables, optax.adamw(1e-4),
+        model, variables, tx,
         rngs={"dropout": keys[2], "patch_encoding": keys[1],
               "diffusion": keys[3]})
     actions = jnp.full((BATCH, 8), 0.3, dtype=jnp.float32)

@@ -67,9 +67,13 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     print(f"{args.preset}: {n_params / 1e6:.1f}M params, head={args.head}")
 
+    # frozen t5 tower carries no optimizer state/traffic (embed-kind text
+    # towers are trainable, so freezing is keyed on the config)
+    frozen = ("text_encoder",) if cfg.text.kind == "t5" else ()
     tx = make_optimizer(peak_lr=3e-4, warmup_steps=20,
                         total_steps=args.steps,
-                        params=variables["params"])
+                        params=variables["params"],
+                        frozen_prefixes=frozen)
     rngs = {"dropout": keys[2], "patch_encoding": keys[1]}
     if args.head == "diffusion":
         rngs["diffusion"] = keys[3]

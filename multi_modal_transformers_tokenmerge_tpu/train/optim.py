@@ -13,7 +13,8 @@ from typing import Optional
 import jax
 import optax
 
-__all__ = ["warmup_cosine_schedule", "make_optimizer", "decay_mask"]
+__all__ = ["warmup_cosine_schedule", "make_optimizer", "decay_mask",
+           "trainable_mask", "mask_frozen"]
 
 
 def warmup_cosine_schedule(peak_lr: float, warmup_steps: int,
@@ -38,17 +39,54 @@ def decay_mask(params):
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
+def trainable_mask(params, frozen_prefixes=("text_encoder",)):
+    """Bool pytree: False for every leaf under a frozen module prefix.
+
+    The flagship config freezes the T5 text tower by stop_gradient (as the
+    reference does, t5_base.py:14) — its gradients are structurally zero,
+    but a bare optimizer still pays full m/v/update HBM traffic for its
+    110M parameters every step (~4 GB/step at octo_base: measured ~5 ms of
+    the 16.5 ms round-3 train step).  Mask them out instead.
+    """
+    def mark(path, leaf):
+        names = {p.key for p in path if hasattr(p, "key")}
+        return not names.intersection(frozen_prefixes)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def mask_frozen(tx: optax.GradientTransformation, params,
+                frozen_prefixes=("text_encoder",)
+                ) -> optax.GradientTransformation:
+    """Wrap ``tx`` so frozen-module leaves carry no optimizer state and no
+    update traffic (``optax.masked``).  No-op if nothing is frozen."""
+    mask = trainable_mask(params, frozen_prefixes)
+    if all(jax.tree_util.tree_leaves(mask)):
+        return tx
+    inv = jax.tree.map(lambda m: not m, mask)
+    # masked(tx) skips state+update traffic for frozen leaves but passes
+    # their raw gradient through; the masked set_to_zero pins those
+    # updates to exactly zero even if a caller forgets stop_gradient
+    return optax.chain(optax.masked(tx, mask),
+                       optax.masked(optax.set_to_zero(), inv))
+
+
 def make_optimizer(peak_lr: float = 3e-4,
                    warmup_steps: int = 1000,
                    total_steps: int = 100_000,
                    weight_decay: float = 1e-4,
                    clip_norm: Optional[float] = 1.0,
                    b1: float = 0.9, b2: float = 0.999,
-                   params=None) -> optax.GradientTransformation:
-    """AdamW with warmup-cosine LR, global-norm clipping, and masked decay.
+                   params=None,
+                   frozen_prefixes=()
+                   ) -> optax.GradientTransformation:
+    """AdamW with warmup-cosine LR, global-norm clipping, masked decay,
+    and (opt-in) frozen-module state masking.
 
     Pass ``params`` to enable the decay mask (otherwise decay applies to
-    all leaves, matching plain adamw).
+    all leaves, matching plain adamw).  Pass
+    ``frozen_prefixes=('text_encoder',)`` for t5-frozen configs — NOT the
+    default because embed-kind text towers are trainable.
     """
     schedule = warmup_cosine_schedule(peak_lr, warmup_steps, total_steps)
     chain = []
@@ -57,4 +95,7 @@ def make_optimizer(peak_lr: float = 3e-4,
     mask = decay_mask(params) if params is not None else None
     chain.append(optax.adamw(schedule, b1=b1, b2=b2,
                              weight_decay=weight_decay, mask=mask))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if params is not None and frozen_prefixes:
+        tx = mask_frozen(tx, params, frozen_prefixes)
+    return tx

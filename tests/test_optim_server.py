@@ -12,6 +12,8 @@ from multi_modal_transformers_tokenmerge_tpu.serve.server import PolicyServer
 from multi_modal_transformers_tokenmerge_tpu.train.optim import (
     decay_mask,
     make_optimizer,
+    mask_frozen,
+    trainable_mask,
     warmup_cosine_schedule,
 )
 
@@ -39,6 +41,58 @@ def test_decay_mask_excludes_norms_and_embeddings():
     assert mask["ln"]["scale"] is False
     assert mask["embed"]["embedding"] is False
     assert mask["pos"]["pos_embedding"] is False
+
+
+def test_trainable_mask_marks_frozen_subtree():
+    params = {
+        "text_encoder": {"t5": {"kernel": jnp.ones((4, 4))}},
+        "transformer": {"dense": {"kernel": jnp.ones((4, 4))}},
+    }
+    mask = trainable_mask(params, ("text_encoder",))
+    assert mask["text_encoder"]["t5"]["kernel"] is False
+    assert mask["transformer"]["dense"]["kernel"] is True
+
+
+def test_mask_frozen_zero_updates_and_no_state_for_frozen():
+    params = {
+        "text_encoder": {"k": jnp.ones((8, 8))},
+        "head": {"k": jnp.ones((8, 8))},
+    }
+    tx = mask_frozen(optax.adam(1e-1), params, ("text_encoder",))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # frozen subtree receives exactly zero update
+    np.testing.assert_array_equal(np.asarray(updates["text_encoder"]["k"]),
+                                  0.0)
+    assert float(jnp.abs(updates["head"]["k"]).max()) > 0
+    # frozen leaves carry no m/v state (MaskedNode, no .shape)
+    leaves = jax.tree.leaves(state, is_leaf=lambda x: isinstance(
+        x, optax.MaskedNode))
+    assert any(isinstance(l, optax.MaskedNode) for l in leaves)
+
+
+def test_mask_frozen_noop_when_nothing_frozen():
+    params = {"head": {"k": jnp.ones((4, 4))}}
+    tx = optax.adam(1e-2)
+    assert mask_frozen(tx, params, ("text_encoder",)) is tx
+
+
+def test_make_optimizer_with_frozen_prefixes_learns_only_trainable():
+    params = {
+        "text_encoder": {"k": jnp.ones((8, 8))},
+        "head": {"k": jnp.ones((8, 8))},
+    }
+    tx = make_optimizer(peak_lr=1e-1, warmup_steps=1, total_steps=10,
+                        params=params, frozen_prefixes=("text_encoder",))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for _ in range(3):
+        updates, state = tx.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+    np.testing.assert_array_equal(np.asarray(p["text_encoder"]["k"]), 1.0)
+    assert float(jnp.abs(p["head"]["k"] - 1.0).max()) > 0
 
 
 def test_make_optimizer_steps():
