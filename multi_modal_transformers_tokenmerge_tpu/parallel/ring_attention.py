@@ -35,6 +35,13 @@ SEQ_AXIS = "seq"
 
 _NEG_INF = -1e30
 
+# impl='auto' uses the Pallas inner op only at shard lengths where it
+# measured faster than the einsum path on v5e — sweep in
+# benchmarks/recorded/ring_flash_r3.json: 512 -> 0.23x (einsum wins),
+# 1024 -> 2.26x, 2048 -> 3.37x, 4096 full -> 7.4x.  Explicit impl='flash'
+# ignores the threshold.
+_FLASH_AUTO_MIN_SHARD = 1024
+
 
 def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
                    axis: str = SEQ_AXIS, impl: str = "auto",
@@ -67,9 +74,15 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
     if impl != "xla":
         bq = block_q or min(256, s_local)
         bk = block_k or min(512, s_local)
-        eligible = (s_local % bq == 0 and s_local % bk == 0
-                    and bq % 128 == 0 and bk % 128 == 0)
-        if eligible:
+        aligned = (s_local % bq == 0 and s_local % bk == 0
+                   and bq % 128 == 0 and bk % 128 == 0)
+        # measured crossover (benchmarks/recorded/ring_flash_r3.json): the
+        # einsum inner op wins at small shard tiles (XLA batches B*H tiny
+        # matmuls better than the kernel's per-(batch, q-tile) grid); the
+        # kernel's no-materialization + tile-skipping win takes over as
+        # the per-shard score tile grows
+        big_enough = s_local >= _FLASH_AUTO_MIN_SHARD
+        if aligned and (impl == "flash" or big_enough):
             return _ring_flash(q, k, v, mask, mesh, axis, bq, bk, interpret)
         if impl == "flash":
             raise ValueError(
