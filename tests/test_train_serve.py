@@ -97,6 +97,45 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     mgr.close()
 
 
+def test_checkpoint_roundtrip_with_frozen_mask(tmp_path, setup):
+    """mask_frozen opt states contain optax.MaskedNode sentinels — the
+    checkpoint path must round-trip them (users freeze the t5 tower)."""
+    from multi_modal_transformers_tokenmerge_tpu.train.optim import (
+        mask_frozen)
+
+    cfg, model, variables, keys, text, images, actions = setup
+    fresh = _fresh_variables(variables)
+    # freeze an arbitrary existing submodule to exercise MaskedNode
+    prefix = next(iter(fresh["params"].keys()))
+    tx = mask_frozen(optax.adam(1e-3), fresh["params"], (prefix,))
+    state = create_train_state(
+        model, fresh, tx,
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    step = make_train_step("continuous")
+    state, _ = step(state, text, images, actions)
+    frozen_before = jax.tree.map(np.asarray, state.params[prefix])
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(int(state.step), state)
+    mgr.wait()
+    restored = mgr.restore(abstract_state=jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+    # frozen subtree unchanged by the step; training continues after
+    # restore with the same masked optimizer
+    for a, b in zip(jax.tree.leaves(frozen_before),
+                    jax.tree.leaves(jax.tree.map(
+                        np.asarray, restored.params[prefix]))):
+        np.testing.assert_array_equal(a, b)
+    restored = restored.replace(apply_fn=state.apply_fn, tx=state.tx)
+    restored, loss = step(restored, text, images, actions)
+    assert np.isfinite(float(loss))
+
+
 def test_policy_engine_cached_text_matches(setup):
     cfg, model, variables, keys, text, images, actions = setup
     engine = PolicyEngine(model, variables, head="continuous", batch_size=4)
