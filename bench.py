@@ -259,7 +259,7 @@ def main():
         if not MULTICAM:
             # the fork's named feature at the depth it is for (VERDICT r2
             # item 2): recorded in the driver-captured artifact each round
-            detail["deep_stack_tome_224tok_12blk"] = bench_deep(peak, kind)
+            detail["deep_stack_tome_224tok_12blk"] = bench_deep()
             detail["flash_attention_s1024"] = bench_flash(peak)
             detail["attention_op_s1024"] = bench_flash_op(peak)
 
@@ -694,7 +694,7 @@ def main_decomp():
     }), flush=True)
 
 
-def bench_deep(peak, kind):
+def bench_deep():
     """Production-scale encoder stack (224 tokens, 12 blocks, 4x MLP):
     vanilla vs grouped ToMe, device-time protocol.  This is the regime the
     fork's named feature (token merging) is FOR — the committed octo_base
@@ -754,8 +754,8 @@ def bench_deep(peak, kind):
 
 
 def main_deep():
-    peak, kind = device_peak_flops()
-    d = bench_deep(peak, kind)
+    _, kind = device_peak_flops()
+    d = bench_deep()
     print(json.dumps({
         "metric": "deep_stack_sequences_per_sec_tome_224tok_12blk",
         "value": d["sequences_per_sec_tome"],

@@ -610,15 +610,20 @@ def _flash_native_fwd(q, k, v, seed, mask_key, block_q, block_k, interpret,
         q, k, v, jnp.asarray(padded), jnp.asarray(k_hi), seed,
         mask_key=mask_key, block_q=block_q, block_k=block_k,
         interpret=interpret, dropout_rate=dropout_rate)
-    return out, (q, k, v, seed, out, lse)
+    # carry the mask + skip tables as residuals: by the time a (possibly
+    # long-deferred) backward traces, the bounded registry/lru caches may
+    # have evicted this mask's entries (same hazard the xla backward's
+    # mask residual guards against)
+    q_lo = _qlo_table(mask_key, block_q, block_k)
+    tables = (jnp.asarray(padded), jnp.asarray(k_hi), jnp.asarray(q_lo))
+    return out, (q, k, v, seed, out, lse, tables)
 
 
 def _flash_native_bwd(mask_key, block_q, block_k, interpret, dropout_rate,
                       residuals, g):
-    q, k, v, seed, out, lse = residuals
+    q, k, v, seed, out, lse, tables = residuals
+    padded, k_hi, q_lo = tables
     b, s, h, d = q.shape
-    padded, k_hi = _mask_tables(mask_key, block_q, block_k)
-    q_lo = _qlo_table(mask_key, block_q, block_k)
     s_pad = padded.shape[0]
     # delta_i = rowsum(dO * O), padded to (B, H, S_pad), f32.  With dropout,
     # O already contains the dropped weights, so delta_i = Σ_j P_ij dP_ij

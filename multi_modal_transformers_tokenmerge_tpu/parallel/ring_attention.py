@@ -80,8 +80,11 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
         # einsum inner op wins at small shard tiles (XLA batches B*H tiny
         # matmuls better than the kernel's per-(batch, q-tile) grid); the
         # kernel's no-materialization + tile-skipping win takes over as
-        # the per-shard score tile grows
-        big_enough = s_local >= _FLASH_AUTO_MIN_SHARD
+        # the per-shard score tile grows.  'auto' also requires a real TPU
+        # (Mosaic kernels don't lower on the CPU simulation backend);
+        # explicit impl='flash' trusts the caller (tests pass interpret).
+        big_enough = (s_local >= _FLASH_AUTO_MIN_SHARD
+                      and (jax.default_backend() == "tpu" or interpret))
         if aligned and (impl == "flash" or big_enough):
             return _ring_flash(q, k, v, mask, mesh, axis, bq, bk, interpret)
         if impl == "flash":

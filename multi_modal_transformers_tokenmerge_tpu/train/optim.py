@@ -49,8 +49,11 @@ def trainable_mask(params, frozen_prefixes=("text_encoder",)):
     the 16.5 ms round-3 train step).  Mask them out instead.
     """
     def mark(path, leaf):
-        names = {p.key for p in path if hasattr(p, "key")}
-        return not names.intersection(frozen_prefixes)
+        # PREFIX semantics: only the top-level module name is matched, so
+        # a nested submodule that happens to share a frozen name (e.g.
+        # params['head']['text_encoder']) is NOT silently frozen
+        head = path[0].key if path and hasattr(path[0], "key") else None
+        return head not in frozen_prefixes
 
     return jax.tree_util.tree_map_with_path(mark, params)
 

@@ -96,8 +96,13 @@ def make_train_step(head: str, donate: bool = True, jit: bool = True,
 
         grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads)
-        state = state.replace(
-            metrics=state.metrics.update(loss, grad_norm))
+        # feed only the metrics this state's collection declares — custom
+        # declarations (Metrics.empty(name=kind, ...)) may omit the
+        # defaults, and extra declared metrics accumulate via the user's
+        # own step wrapper
+        std = {k: v for k, v in (("loss", loss), ("grad_norm", grad_norm))
+               if k in state.metrics.sums}
+        state = state.replace(metrics=state.metrics.update(**std))
         return state, loss
 
     if jit:

@@ -85,3 +85,36 @@ def test_update_inside_jit_donation_safe():
     out = jax.device_get(m.compute())
     assert out["loss"] == pytest.approx(1.0)
     assert out["seen"] == pytest.approx(24.0)
+
+
+def test_custom_declaration_works_with_standard_train_step():
+    """Regression (code-review r3): a collection without the default
+    loss/grad_norm names must not crash make_train_step's metric feed."""
+    import optax
+    from multi_modal_transformers_tokenmerge_tpu.train.state import (
+        create_train_state)
+    from multi_modal_transformers_tokenmerge_tpu.train.steps import (
+        make_train_step)
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from micro_configs import octo_micro
+
+    cfg = octo_micro()
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((4, 4), jnp.int32)
+    images = jnp.zeros((4, 64, 64, 3))
+    variables = model.init(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]}, text, images)
+    actions = jnp.full((4, 4), 0.3)
+    state = create_train_state(
+        model, variables, optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]},
+        metrics=Metrics.empty(loss="avg", seen="sum"))  # no grad_norm
+    step = make_train_step("continuous")
+    state, loss = step(state, text, images, actions)
+    out = jax.device_get(state.metrics.compute())
+    assert out["loss"] == pytest.approx(float(loss))
+    assert out["seen"] == 0.0  # declared but unfed: untouched

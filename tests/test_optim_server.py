@@ -95,6 +95,18 @@ def test_make_optimizer_with_frozen_prefixes_learns_only_trainable():
     assert float(jnp.abs(p["head"]["k"] - 1.0).max()) > 0
 
 
+def test_trainable_mask_prefix_semantics_not_contains():
+    """Regression (code-review r3): only TOP-LEVEL module names freeze —
+    a nested submodule sharing the name must stay trainable."""
+    params = {
+        "text_encoder": {"k": jnp.ones((2, 2))},
+        "head": {"text_encoder": {"k": jnp.ones((2, 2))}},
+    }
+    mask = trainable_mask(params, ("text_encoder",))
+    assert mask["text_encoder"]["k"] is False
+    assert mask["head"]["text_encoder"]["k"] is True
+
+
 def test_make_optimizer_steps():
     params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
     tx = make_optimizer(peak_lr=1e-2, warmup_steps=2, total_steps=10,
