@@ -25,6 +25,8 @@ dense (in, out) — so compat converters and fidelity goldens are unchanged.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,68 @@ from ..ops.image_ops import (
 )
 
 __all__ = ["ResNetV2Embedder", "ImageTokenizer"]
+
+
+def _conv_hwcn_raw(x, w, strides, padding):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("HWCN", "HWIO", "HWCN"))
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, dimension_numbers=dn,
+        preferred_element_type=x.dtype)
+
+
+def _fold_s2d(a, sy, sx):
+    """Space-to-depth fold of the two leading dims of (H, W, C, last):
+    (H, W, C, L) -> (H/sy, W/sx, sy*sx*C, L), phase-major channels."""
+    h, w, c, last = a.shape
+    a6 = a.reshape(h // sy, sy, w // sx, sx, c, last)
+    return a6.transpose(0, 2, 1, 3, 4, 5).reshape(
+        h // sy, w // sx, sy * sx * c, last)
+
+
+def _unfold_s2d(a, sy, sx, c):
+    """Inverse of _fold_s2d on a kernel-shaped array."""
+    ky, kx, _, last = a.shape
+    a6 = a.reshape(ky, kx, sy, sx, c, last)
+    return a6.transpose(0, 2, 1, 3, 4, 5).reshape(
+        ky * sy, kx * sx, c, last)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _strided_conv_hwcn(x, w, strides):
+    """VALID strided HWCN conv whose WEIGHT gradient uses the
+    space-to-depth reformulation: the stride-s kernel-k conv folds exactly
+    into a stride-1 k/s conv over phase-folded channels, whose wgrad XLA
+    handles ~1.5x faster on v5e IN ISOLATION
+    (benchmarks/exp_s2d_hwcn.py: 1.86 -> 1.26 ms at octo_base shapes).
+    NOTE: currently NOT wired into _ConvHWCN — the measured end-to-end
+    train step was unchanged (12.44 vs 12.46 ms/step; the op-level win
+    does not survive whole-graph scheduling), and per the round-2 lesson
+    we don't ship paths without a measured benefit.  Kept (with tests)
+    for larger input-conv regimes where the wgrad dominates."""
+    return _conv_hwcn_raw(x, w, strides, "VALID")
+
+
+def _strided_conv_fwd(x, w, strides):
+    return _strided_conv_hwcn(x, w, strides), (x, w)
+
+
+def _strided_conv_bwd(strides, res, g):
+    x, w = res
+    sy, sx = strides
+    c = x.shape[2]
+    _, dx_fn = jax.vjp(lambda x_: _conv_hwcn_raw(x_, w, strides, "VALID"),
+                       x)
+    dx = dx_fn(g)[0]
+    _, dw_fn = jax.vjp(
+        lambda w6: _conv_hwcn_raw(_fold_s2d(x, sy, sx), w6, (1, 1),
+                                  "VALID"),
+        _fold_s2d(w, sy, sx))
+    dw = _unfold_s2d(dw_fn(g)[0], sy, sx, c)
+    return dx, dw
+
+
+_strided_conv_hwcn.defvjp(_strided_conv_fwd, _strided_conv_bwd)
 
 
 class _ConvHWCN(nn.Module):
@@ -58,12 +122,8 @@ class _ConvHWCN(nn.Module):
             self.param_dtype)
         bias = self.param("bias", nn.initializers.normal(),
                           (self.features,), self.param_dtype)
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape, ("HWCN", "HWIO", "HWCN"))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            self.strides, self.padding, dimension_numbers=dn,
-            preferred_element_type=self.dtype)
+        y = _conv_hwcn_raw(x.astype(self.dtype), kernel.astype(self.dtype),
+                           self.strides, self.padding)
         return y + bias.astype(self.dtype)[:, None]
 
 

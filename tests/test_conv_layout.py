@@ -86,3 +86,27 @@ def test_unknown_layout_raises():
     with pytest.raises(ValueError, match="conv_layout"):
         ResNetV2Embedder(cfg).init(
             jax.random.PRNGKey(0), jnp.ones((1, 2, 56, 56, 3)))
+
+
+def test_s2d_wgrad_custom_vjp_matches_direct_autodiff():
+    """_strided_conv_hwcn (s2d weight-gradient reformulation, kept for
+    wgrad-dominated regimes) must match direct conv autodiff exactly."""
+    from multi_modal_transformers_tokenmerge_tpu.modules.image_tokenizer import (
+        _conv_hwcn_raw, _strided_conv_hwcn)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 16, 3, 32))
+    w = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 3, 8)) * 0.1
+    g = jax.random.normal(jax.random.PRNGKey(2), (7, 7, 8, 32))
+
+    y_ref = _conv_hwcn_raw(x, w, (2, 2), "VALID")
+    y_new = _strided_conv_hwcn(x, w, (2, 2))
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    _, vjp_ref = jax.vjp(lambda x_, w_: _conv_hwcn_raw(x_, w_, (2, 2),
+                                                       "VALID"), x, w)
+    _, vjp_new = jax.vjp(lambda x_, w_: _strided_conv_hwcn(x_, w_, (2, 2)),
+                         x, w)
+    for a, b in zip(vjp_new(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
