@@ -157,9 +157,11 @@ def _flash_attention_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
 
 
 @functools.partial(jax.jit, static_argnames=("mask_key", "block_q", "block_k",
-                                             "interpret", "dropout_rate"))
+                                             "interpret", "dropout_rate",
+                                             "out_dtype"))
 def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, seed, *, mask_key, block_q,
-                        block_k, interpret, dropout_rate=0.0):
+                        block_k, interpret, dropout_rate=0.0,
+                        out_dtype=None):
     b, s, h, d = q.shape
     s_pad = mask_i8.shape[0]
     num_q_blocks = s_pad // block_q
@@ -187,7 +189,8 @@ def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, seed, *, mask_key, block_q,
                           sm_scale=sm_scale, num_heads=h, head_dim=d,
                           dropout_rate=dropout_rate),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d),
+                                        out_dtype or q.dtype),
                    jax.ShapeDtypeStruct((b, h, s_pad), jnp.float32)),
         interpret=interpret,
     )(k_hi, seed, flat(q), flat(k), flat(v), mask_i8)
@@ -513,17 +516,20 @@ def tile_skip_tables(mask: np.ndarray, block_q: int, block_k: int):
 
 
 def flash_fwd_lse(q, k, v, mask_i8, k_hi, *, block_q, block_k,
-                  interpret=False):
+                  interpret=False, out_dtype=None):
     """Forward flash attention returning ``(out, lse)`` with the mask tile
     and k_hi skip table passed as TRACED arrays (values may be selected
     dynamically, e.g. per ring step).  Shapes: q/k/v (B, S, H, D) with S
-    == mask side; mask pre-padded to tile multiples.  Not differentiable
-    on its own — parallel.ring_attention wraps it in a ring-level VJP."""
+    == mask side; mask pre-padded to tile multiples.  ``out_dtype``
+    overrides the output dtype (the ring merge requests f32 partials so
+    per-step quantization doesn't accumulate with ring size).  Not
+    differentiable on its own — parallel.ring_attention wraps it in a
+    ring-level VJP."""
     seed = jnp.asarray(_ZERO_SEED)
     return _flash_fwd_lse_impl(
         q, k, v, mask_i8, k_hi, seed, mask_key="__dynamic__",
         block_q=block_q, block_k=block_k, interpret=interpret,
-        dropout_rate=0.0)
+        dropout_rate=0.0, out_dtype=out_dtype)
 
 
 def flash_bwd(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *, block_q,

@@ -13,8 +13,9 @@ compiler's view (one collective per ring step inside a ``lax.scan``).
 Differentiable end to end: the backward replays the scan with transposed
 ppermutes — no custom VJP needed.
 
-The static (S, S) mask is replicated and sliced per (device, ring-step)
-pair, so arbitrary block-causal OCTO layouts work unchanged.
+The static (S, S) mask is sharded by QUERY rows (each chip holds its
+(S/P, S) slice) and sliced per (device, ring-step) pair, so arbitrary
+block-causal OCTO layouts work unchanged.
 """
 
 from __future__ import annotations
@@ -55,9 +56,13 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
       mesh: mesh containing ``axis`` of size P; S must divide by P.
       impl: ``'xla'`` — einsum inner block (always available);
         ``'flash'`` — Pallas flash kernel inner block (never materializes
-        the (B, H, S/P, S/P) score tile; ~1.7x op-level on v5e at long
-        shard lengths); ``'auto'`` — flash when the shard length is
-        tile-aligned, else xla.
+        the (B, H, S/P, S/P) score tile); ``'auto'`` — flash only when the
+        shard length is tile-aligned AND >= the measured crossover
+        (_FLASH_AUTO_MIN_SHARD = 1024; einsum wins below it) AND running
+        on a real TPU — otherwise xla.
+      block_q, block_k: flash-path tile sizes (128-multiples that must
+        divide the shard length; default min(256/512, shard)).  Ignored —
+        like ``interpret`` — by the xla path.
       interpret: run the Pallas kernels in interpreter mode (CPU tests).
 
     Returns (B, S, H, D), sharded like q.
@@ -65,6 +70,11 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
     if not isinstance(mask, np.ndarray):
         raise TypeError("ring_attention requires a static numpy mask")
     b, s, h, d = q.shape
+    if mask.shape != (s, s):
+        raise ValueError(
+            f"mask shape {mask.shape} != sequence ({s}, {s}) — a "
+            f"wrong-sized mask would shard to wrong per-device rows and "
+            f"silently corrupt attention")
     p = mesh.shape[axis]
     if s % p:
         raise ValueError(f"sequence {s} not divisible by ring size {p}")
@@ -106,14 +116,21 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
         # replicating O(S^2) bytes onto every chip
         idx = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % p) for i in range(p)]
-        q32 = q.astype(jnp.float32)
 
+        # checkpointed: without remat, autodiff through the ring scan saves
+        # every step's (B, H, s_local, s_local) score/probability tensors —
+        # O(B*H*s_local*S) f32 residuals, an OOM in exactly the
+        # too-long-for-one-chip regime this module exists for.  Recompute
+        # keeps backward memory at one tile.
+        @jax.checkpoint
         def merge_block(carry, k_blk, v_blk, src):
             m, l, acc = carry
             mask_tile = jax.lax.dynamic_slice(
                 mask_rows, (0, src * s_local), (s_local, s_local))
-            st = jnp.einsum("bqhd,bkhd->bhqk", q32,
-                            k_blk.astype(jnp.float32)) * scale
+            # operands stay in their input dtype (full-rate MXU for bf16)
+            # with f32 accumulation — same contract as the flash kernel
+            st = jnp.einsum("bqhd,bkhd->bhqk", q, k_blk,
+                            preferred_element_type=jnp.float32) * scale
             st = jnp.where(mask_tile[None, None] != 0, st, _NEG_INF)
             m_blk = jnp.max(st, axis=-1)                       # (B, H, Q)
             m_new = jnp.maximum(m, m_blk)
@@ -123,9 +140,12 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
             pr = jnp.exp(st - jnp.maximum(m_new, 0.5 * _NEG_INF)[..., None])
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(pr, axis=-1)
+            # probabilities cast to V's dtype for the PV matmul (flash-
+            # standard: bf16 MXU rate, f32 accumulation); no-op for f32
             acc_new = (acc * alpha[..., None]
-                       + jnp.einsum("bhqk,bkhd->bhqd", pr,
-                                    v_blk.astype(jnp.float32)))
+                       + jnp.einsum("bhqk,bkhd->bhqd",
+                                    pr.astype(v_blk.dtype), v_blk,
+                                    preferred_element_type=jnp.float32))
             return m_new, l_new, acc_new
 
         m0 = jnp.full((b, h, s_local), _NEG_INF, jnp.float32)
@@ -155,6 +175,37 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
     return run(q, k, v, mask_arr)
 
 
+# content-keyed cache for the P^2 per-(query-shard, key-shard) skip
+# tables: the numpy scan over the O(S^2) mask is host-side work repeated
+# per eager call / retrace otherwise.  Bounded FIFO like the flash mask
+# registry.
+_RING_TABLE_CACHE = {}
+_RING_TABLE_CACHE_MAX = 64
+
+
+def _ring_tables(mask_bytes, shape, p, block_q, block_k, mask):
+    import hashlib
+    key = (hashlib.sha1(mask_bytes).hexdigest()[:20], shape, p,
+           block_q, block_k)
+    hit = _RING_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    s_local = shape[0] // p
+    num_q, num_k = s_local // block_q, s_local // block_k
+    khi_all = np.zeros((p, p, num_q), np.int32)
+    qlo_all = np.zeros((p, p, num_k), np.int32)
+    for qd in range(p):
+        for kd in range(p):
+            tile = mask[qd * s_local:(qd + 1) * s_local,
+                        kd * s_local:(kd + 1) * s_local]
+            khi_all[qd, kd], qlo_all[qd, kd] = tile_skip_tables(
+                tile, block_q, block_k)
+    if len(_RING_TABLE_CACHE) >= _RING_TABLE_CACHE_MAX:
+        _RING_TABLE_CACHE.pop(next(iter(_RING_TABLE_CACHE)))
+    _RING_TABLE_CACHE[key] = (khi_all, qlo_all)
+    return khi_all, qlo_all
+
+
 def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
                 block_q: int, block_k: int, interpret: bool):
     """Ring attention with the Pallas flash kernel as the inner block op
@@ -177,15 +228,8 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
     b, s, h, d = q.shape
     p = mesh.shape[axis]
     s_local = s // p
-    num_q, num_k = s_local // block_q, s_local // block_k
-    khi_all = np.zeros((p, p, num_q), np.int32)
-    qlo_all = np.zeros((p, p, num_k), np.int32)
-    for qd in range(p):
-        for kd in range(p):
-            tile = mask[qd * s_local:(qd + 1) * s_local,
-                        kd * s_local:(kd + 1) * s_local]
-            khi_all[qd, kd], qlo_all[qd, kd] = tile_skip_tables(
-                tile, block_q, block_k)
+    khi_all, qlo_all = _ring_tables(
+        mask.tobytes(), mask.shape, p, block_q, block_k, mask)
     mask_i8 = jnp.asarray(mask, jnp.int8)
     khi_arr = jnp.asarray(khi_all)
     qlo_arr = jnp.asarray(qlo_all)
@@ -198,16 +242,20 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis), P(axis),
-                  P(), P()),
+                  P()),
         out_specs=(P(None, axis), P(None, None, axis)),
         check_vma=False)
-    def fwd_shards(q, k, v, mask_rows, khi, qlo):
+    def fwd_shards(q, k, v, mask_rows, khi):
         idx = jax.lax.axis_index(axis)
 
         def block(src, k_blk, v_blk):
+            # per-step partials in f32: quantizing each step to the input
+            # dtype before the logsumexp reweighting would accumulate
+            # ~sqrt(p) rounding error with ring size
             return flash_fwd_lse(
                 q, k_blk, v_blk, tile_of(mask_rows, src), khi[idx, src],
-                block_q=block_q, block_k=block_k, interpret=interpret)
+                block_q=block_q, block_k=block_k, interpret=interpret,
+                out_dtype=jnp.float32)
 
         out0, lse0 = block(idx, k, v)
 
@@ -219,15 +267,14 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
             lse_new = jnp.logaddexp(lse_acc, lse_j)
             w_acc = jnp.moveaxis(jnp.exp(lse_acc - lse_new), 1, 2)[..., None]
             w_j = jnp.moveaxis(jnp.exp(lse_j - lse_new), 1, 2)[..., None]
-            out_new = out_acc * w_acc + out_j.astype(jnp.float32) * w_j
+            out_new = out_acc * w_acc + out_j * w_j
             return (out_new, lse_new, k_blk, v_blk), None
 
         if p > 1:
             (out_f, lse_f, _, _), _ = jax.lax.scan(
-                ring_step, (out0.astype(jnp.float32), lse0, k, v),
-                jnp.arange(1, p))
+                ring_step, (out0, lse0, k, v), jnp.arange(1, p))
         else:
-            out_f, lse_f = out0.astype(jnp.float32), lse0
+            out_f, lse_f = out0, lse0
         return out_f.astype(q.dtype), lse_f
 
     @functools.partial(
@@ -277,11 +324,11 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def rfa(q, k, v, mask_i8, khi, qlo):
-        out, _ = fwd_shards(q, k, v, mask_i8, khi, qlo)
+        out, _ = fwd_shards(q, k, v, mask_i8, khi)
         return out
 
     def rfa_fwd(q, k, v, mask_i8, khi, qlo):
-        out, lse = fwd_shards(q, k, v, mask_i8, khi, qlo)
+        out, lse = fwd_shards(q, k, v, mask_i8, khi)
         return out, (q, k, v, out, lse, mask_i8, khi, qlo)
 
     def rfa_bwd(res, g):
