@@ -166,9 +166,13 @@ class _GroupNormHWCN(nn.Module):
         else:
             raise ValueError(
                 f"unknown norm_stats_scope {self.stats_scope!r}")
-        # fast-variance formula (flax default): var = E[x^2] - mu^2
+        # fast-variance formula (flax default): var = E[x^2] - mu^2,
+        # CLAMPED at zero exactly like flax's _compute_stats — cancellation
+        # on near-constant large-magnitude groups drives the raw value
+        # negative past epsilon and rsqrt would emit NaN
         mu = f6.mean(axis=axes, keepdims=True)
-        var = (f6 * f6).mean(axis=axes, keepdims=True) - mu * mu
+        var = jnp.maximum(
+            0.0, (f6 * f6).mean(axis=axes, keepdims=True) - mu * mu)
         f6 = (f6 - mu) * jax.lax.rsqrt(var + self.epsilon)
         f = f6.reshape(h, w, c, bg)
         f = (f * scale.astype(jnp.float32)[:, None]
@@ -191,7 +195,7 @@ class ResNetV2Embedder(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, G, p, p, C) — G = frames * patches
         c = self.cfg
-        layout = getattr(c, "conv_layout", "hwcn")
+        layout = c.conv_layout
         if layout == "hwcn":
             return self._call_hwcn(x)
         if layout == "nhwc":
@@ -329,6 +333,17 @@ class ImageTokenizer(nn.Module):
             raise ValueError(
                 f"input image shape {(h, w, c)} != configured {cfg.image_size}"
             )
+        if h != w:
+            raise ValueError(
+                f"image must be square (got {h}x{w}): the patch-position "
+                f"token tables are built from one spatial dim "
+                f"(ops/image_ops.py), matching the reference's square-only "
+                f"Gato tokenizer")
+        if cfg.resnet.output_features != cfg.embedding_dim:
+            raise ValueError(
+                f"resnet.output_features ({cfg.resnet.output_features}) != "
+                f"embedding_dim ({cfg.embedding_dim}): patch embeddings "
+                f"and position embeddings must share a width to be summed")
         p = cfg.patch_size
         num_patches = (h // p) * (w // p)
 

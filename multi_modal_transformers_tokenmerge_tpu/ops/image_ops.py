@@ -104,6 +104,12 @@ def sample_position_tokens(
     """
     rs, rp, cs, cp = position_interval_bounds(image_dim, patch_size,
                                               position_interval)
+    # degenerate intervals (start == stop, possible when
+    # position_interval - 1 < patches-per-dim) would make randint draw
+    # bits modulo zero — platform-undefined; widen to [start, start+1) so
+    # those patches deterministically emit their start bucket
+    rp = np.maximum(rp, rs + 1)
+    cp = np.maximum(cp, cs + 1)
     num_patches = rs.shape[0]
     shape = (*batch_shape, num_patches)
     row_key, col_key = jax.random.split(key)

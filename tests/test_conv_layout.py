@@ -110,3 +110,17 @@ def test_s2d_wgrad_custom_vjp_matches_direct_autodiff():
     for a, b in zip(vjp_new(g), vjp_ref(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_group_norm_hwcn_no_nan_on_large_constant_groups():
+    """Regression (review r3): the fast-variance formula must clamp at
+    zero like flax — near-constant large-magnitude groups drive
+    E[x^2]-mu^2 negative past epsilon and rsqrt would emit NaN."""
+    cfg_h, cfg_n = _pair("image")
+    # constant 1000.0 activations: worst-case cancellation
+    x = jnp.full((1, 4, 56, 56, 3), 1000.0)
+    v = ResNetV2Embedder(cfg_n).init(jax.random.PRNGKey(0), x)
+    y_h = ResNetV2Embedder(cfg_h).apply(v, x)
+    y_n = ResNetV2Embedder(cfg_n).apply(v, x)
+    assert np.isfinite(np.asarray(y_h)).all()
+    assert np.isfinite(np.asarray(y_n)).all()

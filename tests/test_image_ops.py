@@ -81,3 +81,24 @@ def test_position_bounds_are_cached_constants():
     a = position_interval_bounds(280, 56, 128)
     b = position_interval_bounds(280, 56, 128)
     assert a[0] is b[0]  # lru_cache hit -> no recompute
+
+
+def test_sample_position_tokens_degenerate_intervals():
+    """Regression (review r3): position_interval smaller than patches/dim
+    collapses some quantized intervals to start == stop; sampling must
+    stay defined (deterministic start bucket) instead of drawing bits
+    modulo zero."""
+    import jax
+
+    from multi_modal_transformers_tokenmerge_tpu.ops.image_ops import (
+        position_interval_bounds, sample_position_tokens)
+
+    rs, rp, cs, cp = position_interval_bounds(280, 56, 4)
+    assert (rs == rp).any()  # the degenerate case actually occurs here
+    rows, cols = sample_position_tokens(jax.random.PRNGKey(0), (3,),
+                                        280, 56, 4)
+    rows, cols = np.asarray(rows), np.asarray(cols)
+    assert ((rows >= rs) & (rows <= np.maximum(rp, rs))).all()
+    assert ((cols >= cs) & (cols <= np.maximum(cp, cs))).all()
+    deg = rs == rp
+    assert (rows[:, deg] == rs[deg]).all()  # deterministic start bucket
