@@ -47,7 +47,7 @@ _FLASH_AUTO_MIN_SHARD = 1024
 def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
                    axis: str = SEQ_AXIS, impl: str = "auto",
                    block_q: int = None, block_k: int = None,
-                   interpret: bool = False):
+                   interpret: bool = False, batch_axis: str = None):
     """Masked MHA with the sequence axis sharded over ``mesh[axis]``.
 
     Args:
@@ -64,6 +64,9 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
         divide the shard length; default min(256/512, shard)).  Ignored —
         like ``interpret`` — by the xla path.
       interpret: run the Pallas kernels in interpreter mode (CPU tests).
+      batch_axis: optional mesh axis to shard the BATCH dim over (CP x DP
+        composition: each data slice runs its own sequence ring; the mask
+        still shards by query rows over ``axis`` only).
 
     Returns (B, S, H, D), sharded like q.
     """
@@ -96,7 +99,8 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
         big_enough = (s_local >= _FLASH_AUTO_MIN_SHARD
                       and (jax.default_backend() == "tpu" or interpret))
         if aligned and (impl == "flash" or big_enough):
-            return _ring_flash(q, k, v, mask, mesh, axis, bq, bk, interpret)
+            return _ring_flash(q, k, v, mask, mesh, axis, bq, bk,
+                               interpret, batch_axis)
         if impl == "flash":
             raise ValueError(
                 f"impl='flash' needs shard length {s_local} divisible by "
@@ -105,10 +109,11 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
     scale = 1.0 / np.sqrt(d)
     mask_arr = jnp.asarray(mask, dtype=jnp.int8)
 
+    ba = batch_axis
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis), P(axis)),
-        out_specs=P(None, axis),
+        in_specs=(P(ba, axis), P(ba, axis), P(ba, axis), P(axis)),
+        out_specs=P(ba, axis),
         check_vma=False)
     def run(q, k, v, mask_rows):
         # mask_rows: (S/P, S) — only this device's QUERY rows of the mask
@@ -148,9 +153,10 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
                                     preferred_element_type=jnp.float32))
             return m_new, l_new, acc_new
 
-        m0 = jnp.full((b, h, s_local), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((b, h, s_local), jnp.float32)
-        acc0 = jnp.zeros((b, h, s_local, d), jnp.float32)
+        b_loc = q.shape[0]  # per-shard batch (b / |batch_axis| under DP)
+        m0 = jnp.full((b_loc, h, s_local), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((b_loc, h, s_local), jnp.float32)
+        acc0 = jnp.zeros((b_loc, h, s_local, d), jnp.float32)
 
         # local block first (no communication), then p-1 ring steps with
         # the permute BEFORE the compute — exactly p-1 collectives, no
@@ -207,7 +213,8 @@ def _ring_tables(mask_bytes, shape, p, block_q, block_k, mask):
 
 
 def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
-                block_q: int, block_k: int, interpret: bool):
+                block_q: int, block_k: int, interpret: bool,
+                batch_axis: str = None):
     """Ring attention with the Pallas flash kernel as the inner block op
     (VERDICT r2 item 3).
 
@@ -239,11 +246,12 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
         return jax.lax.dynamic_slice(mask_rows, (0, src * s_local),
                                      (s_local, s_local))
 
+    ba = batch_axis
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis), P(axis),
+        in_specs=(P(ba, axis), P(ba, axis), P(ba, axis), P(axis),
                   P()),
-        out_specs=(P(None, axis), P(None, None, axis)),
+        out_specs=(P(ba, axis), P(ba, None, axis)),
         check_vma=False)
     def fwd_shards(q, k, v, mask_rows, khi):
         idx = jax.lax.axis_index(axis)
@@ -279,10 +287,10 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis),
-                  P(None, axis), P(None, axis), P(None, None, axis),
+        in_specs=(P(ba, axis), P(ba, axis), P(ba, axis),
+                  P(ba, axis), P(ba, axis), P(ba, None, axis),
                   P(axis), P(), P()),
-        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=(P(ba, axis), P(ba, axis), P(ba, axis)),
         check_vma=False)
     def bwd_shards(q, k, v, do, out, lse, mask_rows, khi, qlo):
         idx = jax.lax.axis_index(axis)

@@ -230,3 +230,45 @@ def test_ring_random_blocky_masks_property(seed):
     np.testing.assert_array_equal(out[:, ~live], 0.0)
     np.testing.assert_allclose(out[:, live], ref[:, live],
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "flash"])
+def test_ring_composes_with_data_parallel(impl):
+    """CP x DP: a ('data', 'seq') mesh runs an independent sequence ring
+    inside each data slice; results must equal full attention."""
+    if impl == "flash":
+        s, mesh_shape = SF, (2, 2)
+    else:
+        s, mesh_shape = S, (2, 4)
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(mesh_shape),
+                ("data", "seq"))
+    mask = np.tril(np.ones((s, s), dtype=bool))
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (jax.random.normal(kk, (4, s, H, D)) for kk in ks)
+    out = ring_attention(q, k, v, mask, mesh, impl=impl,
+                         interpret=(impl == "flash"), batch_axis="data")
+    ref = _reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_cp_dp_gradients():
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "seq"))
+    mask = _masks()["octo_block_causal"]
+    q, k, v = (jax.random.normal(kk, (4, S, H, D))
+               for kk in jax.random.split(jax.random.PRNGKey(6), 3))
+
+    def loss_ring(q, k, v):
+        return jnp.mean(jnp.square(ring_attention(
+            q, k, v, mask, mesh, batch_axis="data").astype(jnp.float32)))
+
+    def loss_ref(q, k, v):
+        return jnp.mean(jnp.square(_reference(q, k, v, mask)))
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=1e-6)
