@@ -28,6 +28,9 @@ def export_policy(model, variables, head: str, batch_size: int,
     given).  Variables are call-time inputs, so one artifact serves any
     checkpoint with the same structure.
     """
+    if head not in _PREDICT_METHODS:
+        raise ValueError(
+            f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
     method = _PREDICT_METHODS[head]
 
     def fn(variables, text_tokens, images, key):

@@ -21,11 +21,7 @@ import jax.numpy as jnp
 
 __all__ = ["PolicyEngine"]
 
-_PREDICT_METHODS = {
-    "continuous": "predict_continuous_action",
-    "categorical": "predict_action_logits",
-    "diffusion": "predict_diffusion_action",
-}
+from .export import _PREDICT_METHODS  # single source of truth
 
 _CACHED_METHODS = {
     "continuous": "predict_continuous_action_with_text",
@@ -83,8 +79,6 @@ class PolicyEngine:
         self._compiled = None
         self._compiled_cached = None
         self._text_embeddings = None
-        self._warmup = False
-        self._zero_images = None
         # per-instance jit caches (an lru_cache on a method would key on
         # self and pin every engine — and its variables pytree — for the
         # life of the process)
@@ -145,13 +139,7 @@ class PolicyEngine:
         for the full text+images path — no compilation in this process.
         The cached-instruction path still jit-compiles on first use."""
         from .export import load_policy
-        fn = load_policy(blob_or_path)
-
-        class _Adapter:
-            def __call__(self, variables, text_tokens, images, key_data):
-                return fn(variables, text_tokens, images, key_data)
-
-        self._compiled = _Adapter()
+        self._compiled = load_policy(blob_or_path)
         return self
 
     def compile(self, text_shape, image_shape,
@@ -189,14 +177,15 @@ class PolicyEngine:
         text = mk((self.batch_size, *text_shape), jnp.int32)
         self._compiled = (
             jax.jit(fn).lower(var_shapes, text, images, key).compile())
-        self._warmup = warmup
-        self._zero_images = self._place(
+        # warmup buffers are locals: keeping them on self would pin
+        # batch-sized device arrays for the engine's lifetime
+        zero_images = self._place(
             jnp.zeros((self.batch_size, *image_shape), jnp.float32))
         if warmup:
             zero_text = self._place(
                 jnp.zeros((self.batch_size, *text_shape), jnp.int32))
             self._warm(self._compiled,
-                       (self.variables, zero_text, self._zero_images,
+                       (self.variables, zero_text, zero_images,
                         jax.random.key_data(self._rng)))
 
         if self.cache_text:
@@ -222,7 +211,7 @@ class PolicyEngine:
                     (self.batch_size, *text_shape, emb_dim),
                     self.model.config.compute_dtype))
                 self._warm(self._compiled_cached,
-                           (self.variables, zero_emb, self._zero_images,
+                           (self.variables, zero_emb, zero_images,
                             jax.random.key_data(self._rng)))
         return self
 

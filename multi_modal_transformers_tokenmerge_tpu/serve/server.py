@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Optional
 
 import jax.numpy as jnp
@@ -46,6 +47,17 @@ class PolicyServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
+            self._thread = None
+        # fail pending waiters promptly instead of letting each block for
+        # its full predict() timeout
+        shutdown = RuntimeError("policy server stopped")
+        while True:
+            try:
+                _, slot, done = self._requests.get_nowait()
+            except queue.Empty:
+                break
+            slot["error"] = shutdown
+            done.set()
 
     def __enter__(self):
         return self.start()
@@ -58,6 +70,10 @@ class PolicyServer:
     def predict(self, images: np.ndarray, timeout: float = 30.0):
         """Blocking single-observation obs->action.  ``images`` has NO batch
         dim; returns the action for this observation."""
+        if self._thread is None or self._stop.is_set():
+            raise RuntimeError(
+                "policy server is not running (call start() / use the "
+                "context manager before predict())")
         done = threading.Event()
         slot = {}
         self._requests.put((images, slot, done))
@@ -76,15 +92,15 @@ class PolicyServer:
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = self.max_wait
-            import time
             t0 = time.perf_counter()
-            while (len(batch) < self.batch_size
-                   and (time.perf_counter() - t0) < deadline):
+            while len(batch) < self.batch_size:
+                remaining = self.max_wait - (time.perf_counter() - t0)
+                if remaining <= 0:
+                    break
                 try:
-                    batch.append(self._requests.get(timeout=0.0005))
+                    batch.append(self._requests.get(timeout=remaining))
                 except queue.Empty:
-                    pass
+                    break
             self._run(batch)
 
     def _run(self, batch):

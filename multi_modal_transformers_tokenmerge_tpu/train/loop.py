@@ -40,10 +40,6 @@ def fit(state: OctoTrainState,
     step = step_fn if step_fn is not None else make_train_step(head)
     sharding = batch_sharding(mesh) if mesh is not None else None
 
-    # track the step counter on the host: int(state.step) blocks on the
-    # just-dispatched donated step, serializing the pipeline (and on this
-    # class of rig, hitting a ~25ms device-poll floor every step)
-    start_step = int(state.step)
     it = iter(batches)
     for i in range(num_steps):
         batch = next(it)
@@ -51,11 +47,9 @@ def fit(state: OctoTrainState,
             batch = tuple(jax.device_put(x, sharding) for x in batch)
         state, loss = step(state, *batch)
 
-        # step_no is only an ESTIMATE between syncs (a custom step_fn may
-        # advance state.step differently); log/checkpoint boundaries read
-        # the authoritative device value — they already sync for metrics,
-        # so this costs nothing extra on the hot path
-        step_no = start_step + i + 1
+        # the hot path never reads state.step (int() would block on the
+        # just-dispatched donated step); log/checkpoint boundaries read
+        # the authoritative device value — they already sync for metrics
         if logger is not None and (i + 1) % log_every == 0:
             metrics = jax.device_get(state.metrics.compute())
             step_no = int(state.step)

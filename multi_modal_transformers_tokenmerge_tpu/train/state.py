@@ -32,12 +32,14 @@ class Metrics:
     ``loss`` and ``grad_norm``.  Declare more with e.g.
     ``Metrics.empty(loss='avg', l2_head='avg', tokens='sum')`` and feed
     them per step via ``metrics.update(loss=..., l2_head=..., tokens=...)``.
-    Metrics not passed to ``update`` keep their accumulator unchanged (the
-    update count still advances — averages treat a missing value as 0).
+    Counts are PER METRIC (clu Average semantics): each average divides by
+    the number of updates that actually fed it, so partial updates — or a
+    second ``update`` call from a custom step wrapper — never skew the
+    other averages.
     """
 
     sums: Dict[str, jax.Array]
-    count: jax.Array
+    counts: Dict[str, jax.Array]
     # (name, kind) pairs; tuple (hashable) so jit treedef comparison works.
     kinds: tuple = flax.struct.field(
         pytree_node=False, default=(("grad_norm", "avg"), ("loss", "avg")))
@@ -55,18 +57,21 @@ class Metrics:
                     f"got {kind!r}")
         kinds = tuple(sorted(declared.items()))
         return cls(sums={n: jnp.zeros((), jnp.float32) for n, _ in kinds},
-                   count=jnp.zeros((), jnp.float32), kinds=kinds)
+                   counts={n: jnp.zeros((), jnp.float32) for n, _ in kinds},
+                   kinds=kinds)
 
     def zeros_like(self) -> "Metrics":
         """Fresh empty collection with the same declaration (same treedef
         — safe to swap into a donated state between logging windows)."""
         return Metrics(
             sums={n: jnp.zeros((), jnp.float32) for n in self.sums},
-            count=jnp.zeros((), jnp.float32), kinds=self.kinds)
+            counts={n: jnp.zeros((), jnp.float32) for n in self.sums},
+            kinds=self.kinds)
 
     def update(self, loss=None, grad_norm=None, **values) -> "Metrics":
         """Accumulate one step's values (positional compat for the two
-        default metrics: ``metrics.update(loss, grad_norm)``)."""
+        default metrics: ``metrics.update(loss, grad_norm)``).  Only the
+        metrics passed advance their sum AND count."""
         if loss is not None:
             values["loss"] = loss
         if grad_norm is not None:
@@ -78,7 +83,9 @@ class Metrics:
                 f"{sorted(self.sums)} (use Metrics.empty(name=kind, ...))")
         new_sums = {n: (s + values[n] if n in values else s)
                     for n, s in self.sums.items()}
-        return self.replace(sums=new_sums, count=self.count + 1.0)
+        new_counts = {n: (c + 1.0 if n in values else c)
+                      for n, c in self.counts.items()}
+        return self.replace(sums=new_sums, counts=new_counts)
 
     def merge(self, other: "Metrics") -> "Metrics":
         """Merge two collections with the same declaration (clu-style —
@@ -89,11 +96,12 @@ class Metrics:
                              f"{other.kinds}")
         return self.replace(
             sums={n: s + other.sums[n] for n, s in self.sums.items()},
-            count=self.count + other.count)
+            counts={n: c + other.counts[n]
+                    for n, c in self.counts.items()})
 
     def compute(self) -> Dict[str, jax.Array]:
-        denom = jnp.maximum(self.count, 1.0)
-        return {n: (self.sums[n] / denom if kind == "avg" else self.sums[n])
+        return {n: (self.sums[n] / jnp.maximum(self.counts[n], 1.0)
+                    if kind == "avg" else self.sums[n])
                 for n, kind in self.kinds}
 
 

@@ -98,8 +98,9 @@ def make_train_step(head: str, donate: bool = True, jit: bool = True,
         state = state.apply_gradients(grads)
         # feed only the metrics this state's collection declares — custom
         # declarations (Metrics.empty(name=kind, ...)) may omit the
-        # defaults, and extra declared metrics accumulate via the user's
-        # own step wrapper
+        # defaults.  Extra declared metrics accumulate safely via a second
+        # update() in the user's step wrapper: counts are per metric, so
+        # separate feeds never skew each other's averages
         std = {k: v for k, v in (("loss", loss), ("grad_norm", grad_norm))
                if k in state.metrics.sums}
         state = state.replace(metrics=state.metrics.update(**std))

@@ -118,3 +118,16 @@ def test_custom_declaration_works_with_standard_train_step():
     out = jax.device_get(state.metrics.compute())
     assert out["loss"] == pytest.approx(float(loss))
     assert out["seen"] == 0.0  # declared but unfed: untouched
+
+
+def test_two_update_calls_do_not_skew_each_other():
+    """Regression (review r3): counts are per metric, so feeding different
+    metrics in separate update() calls (e.g. the standard step + a user
+    wrapper) must not halve anyone's average."""
+    m = Metrics.empty(loss="avg", aux="avg")
+    for i in range(4):
+        m = m.update(loss=2.0)   # the built-in step's feed
+        m = m.update(aux=6.0)    # a custom wrapper's separate feed
+    out = jax.device_get(m.compute())
+    assert out["loss"] == pytest.approx(2.0)
+    assert out["aux"] == pytest.approx(6.0)
