@@ -16,7 +16,7 @@ from ..parallel.mesh import batch_sharding
 from .state import OctoTrainState
 from .steps import make_train_step
 
-__all__ = ["fit"]
+__all__ = ["fit", "evaluate"]
 
 
 def fit(state: OctoTrainState,
@@ -29,13 +29,19 @@ def fit(state: OctoTrainState,
         reset_metrics_on_log: bool = True,
         checkpointer=None,
         checkpoint_every: int = 1000,
-        step_fn: Optional[Callable] = None) -> OctoTrainState:
+        step_fn: Optional[Callable] = None,
+        eval_fn: Optional[Callable] = None,
+        eval_every: int = 0) -> OctoTrainState:
     """Run ``num_steps`` train steps.
 
     ``batches`` yields ``(text_tokens, images, actions)``.  With a mesh,
     batches are placed batch-sharded along the data axis before each step.
     With ``reset_metrics_on_log`` the logged loss is a windowed average
     (since the previous log) rather than a lifetime average.
+
+    ``eval_fn(state) -> dict`` runs every ``eval_every`` steps (when both
+    are set) and its results are logged under an ``eval/`` prefix — pair
+    it with :func:`evaluate` for held-out loss.
     """
     step = step_fn if step_fn is not None else make_train_step(head)
     sharding = batch_sharding(mesh) if mesh is not None else None
@@ -57,6 +63,11 @@ def fit(state: OctoTrainState,
             if reset_metrics_on_log and (i + 1) < num_steps:
                 # same declaration -> same treedef -> no re-jit of step
                 state = state.replace(metrics=state.metrics.zeros_like())
+        if eval_fn is not None and eval_every and (i + 1) % eval_every == 0:
+            ev = eval_fn(state)
+            if logger is not None:
+                logger.log({f"eval/{k}": float(v) for k, v in ev.items()},
+                           step=int(state.step))
         if checkpointer is not None and (i + 1) % checkpoint_every == 0:
             checkpointer.save(int(state.step), state)
 
@@ -64,3 +75,42 @@ def fit(state: OctoTrainState,
         checkpointer.save(int(state.step), state)
         checkpointer.wait()
     return state
+
+
+def evaluate(state: OctoTrainState,
+             batches: Iterable,
+             head: str,
+             num_batches: int,
+             mesh=None) -> dict:
+    """Average the head's loss over ``num_batches`` held-out batches — no
+    gradients, no state mutation (the reference has no eval path at all).
+
+    Deterministic given ``state.rngs``: stochastic pieces (patch
+    positions, diffusion timesteps) fold a fixed eval offset plus the
+    batch index, so repeated calls on the same data agree.
+    """
+    import jax.numpy as jnp
+
+    from .state import Metrics
+    from .steps import LOSS_METHODS
+
+    method = LOSS_METHODS[head]
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    @jax.jit
+    def eval_step(params, rngs, text, images, actions):
+        loss = state.apply_fn({"params": params}, text, images, actions,
+                              rngs=rngs, method=method)
+        return jnp.mean(loss)
+
+    metrics = Metrics.empty(loss="avg")
+    it = iter(batches)
+    for i in range(num_batches):
+        batch = next(it)
+        if sharding is not None:
+            batch = tuple(jax.device_put(x, sharding) for x in batch)
+        rngs = {name: jax.random.fold_in(
+                    jax.random.fold_in(key, 0xE7A1), i)
+                for name, key in state.rngs.items()}
+        metrics = metrics.update(loss=eval_step(state.params, rngs, *batch))
+    return jax.device_get(metrics.compute())

@@ -373,3 +373,41 @@ def test_gradient_accumulation_diffusion_head_rng_folding():
     s2, l2 = step(s1, text, images, actions)
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert int(s2.step) == int(state.step) + 2
+
+
+def test_evaluate_and_fit_eval_hook(setup):
+    """evaluate() averages held-out loss without touching state; fit's
+    eval_fn hook fires on schedule and logs under eval/."""
+    from multi_modal_transformers_tokenmerge_tpu.train.loop import evaluate
+
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+
+    def eval_batches():
+        while True:
+            yield (text, images, actions)
+
+    ev1 = evaluate(state, eval_batches(), "continuous", num_batches=2)
+    ev2 = evaluate(state, eval_batches(), "continuous", num_batches=2)
+    assert np.isfinite(ev1["loss"])
+    assert ev1["loss"] == pytest.approx(ev2["loss"])  # deterministic
+    # state untouched
+    assert int(state.step) == 0
+
+    logged = []
+
+    class Rec:
+        def log(self, payload, step=None):
+            logged.append((dict(payload), step))
+
+    state = fit(state, eval_batches(), head="continuous", num_steps=4,
+                logger=Rec(), log_every=2,
+                eval_fn=lambda st: evaluate(st, eval_batches(),
+                                            "continuous", 1),
+                eval_every=2)
+    eval_logs = [p for p, _ in logged if any(k.startswith("eval/")
+                                             for k in p)]
+    assert len(eval_logs) == 2  # steps 2 and 4
+    assert all(np.isfinite(p["eval/loss"]) for p in eval_logs)
