@@ -211,6 +211,10 @@ class DiffusionHeadConfig(_Replaceable):
     # 'reference' reuses the same keys every step, replicating the
     # reference's sampler for fidelity tests (diffusion.py:178 key reuse).
     sampler_rng_mode: str = "folded"
+    # 'scan' = XLA lax.scan over steps; 'fused' = single Pallas kernel
+    # with weights resident in VMEM (ops/ddpm_sampler.py); 'auto' = fused
+    # on TPU when the denoiser shape allows it, scan otherwise.
+    sampler_impl: str = "auto"
 
 
 @dataclass(frozen=True)

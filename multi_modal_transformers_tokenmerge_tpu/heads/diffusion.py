@@ -27,6 +27,7 @@ import numpy as np
 
 from ..core.config import DiffusionHeadConfig
 from ..modules.attention import MLPBlock, _bias_init, _kernel_init
+from ..ops.ddpm_sampler import fused_ddpm_sample
 
 __all__ = ["DiffusionActionHead", "OctoDenoise", "FourierFeatures",
            "cosine_beta_schedule"]
@@ -212,6 +213,38 @@ class DiffusionActionHead(nn.Module):
             denoiser_vars, embeddings,
             method=lambda m, x: m.readout_proj(x.astype(m.dtype)))  # (B, H)
         contexts = time_part[:, None, :] + readout_part[None]  # (T, B, H)
+
+        use_fused = cfg.num_blocks == 1 and (
+            cfg.sampler_impl == "fused"
+            or (cfg.sampler_impl == "auto"
+                and jax.default_backend() == "tpu"))
+        if use_fused:
+            # per-step noise, bit-identical to the in-scan computation
+            if cfg.sampler_rng_mode == "reference":
+                noise_b = jax.vmap(
+                    lambda k: jax.random.normal(
+                        k, (cfg.action_space_dim,)))(keys)
+                noise_all = jnp.broadcast_to(
+                    noise_b, (cfg.diffusion_steps,) + noise_b.shape)
+            else:
+                step_keys = jax.vmap(
+                    lambda t: jax.random.fold_in(loop_key, t))(times)
+                noise_all = jax.vmap(
+                    lambda k: jax.random.normal(
+                        k, (batch_size, cfg.action_space_dim)))(step_keys)
+            coeffs = jnp.stack([
+                1.0 / jnp.sqrt(self._alphas[times]),
+                (1.0 - self._alphas[times])
+                / jnp.sqrt(1.0 - self._alpha_hats[times]),
+                jnp.sqrt(self._betas[times]),
+            ], axis=-1)                                        # (T, 3)
+            p = denoiser_vars["params"]
+            return fused_ddpm_sample(
+                noisy.astype(jnp.float32), contexts, noise_all, coeffs,
+                p["noisy_proj"]["kernel"], p["noisy_proj"]["bias"],
+                p["first_out"]["kernel"], p["first_out"]["bias"],
+                clip_value=cfg.clip_value, compute_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
 
         def denoise_step(carry, xs):
             sample, key = carry

@@ -1,0 +1,105 @@
+"""Fused Pallas DDPM sampler (ops/ddpm_sampler.py) vs the lax.scan sampler.
+
+The fused kernel must reproduce the scan path's samples — including its
+randomness, since the per-step noise is precomputed from the very same
+fold_in keys the scan uses in-loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.core.config import (
+    DiffusionHeadConfig,
+)
+from multi_modal_transformers_tokenmerge_tpu.heads.diffusion import (
+    DiffusionActionHead,
+)
+from multi_modal_transformers_tokenmerge_tpu.ops import ddpm_sampler
+
+
+def _cfg(**kw):
+    kw.setdefault("diffusion_steps", 6)
+    kw.setdefault("action_space_dim", 4)
+    kw.setdefault("time_dim", 16)
+    kw.setdefault("mlp_dim", 32)
+    return DiffusionHeadConfig(**kw)
+
+
+def _sample(cfg, dtype, batch=3, seed=0):
+    head = DiffusionActionHead(cfg, dtype=dtype)
+    readouts = jax.random.normal(jax.random.PRNGKey(7), (batch, 2, 16))
+    v = head.init({"params": jax.random.PRNGKey(1),
+                   "diffusion": jax.random.PRNGKey(2)},
+                  readouts, method="predict_action")
+    return head.apply(v, readouts, method="predict_action",
+                      rngs={"diffusion": jax.random.PRNGKey(seed)})
+
+
+@pytest.mark.parametrize("rng_mode", ["folded", "reference"])
+def test_fused_matches_scan_f32(rng_mode):
+    scan = _sample(_cfg(sampler_impl="scan", sampler_rng_mode=rng_mode),
+                   jnp.float32)
+    fused = _sample(_cfg(sampler_impl="fused", sampler_rng_mode=rng_mode),
+                    jnp.float32)
+    assert fused.shape == scan.shape
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(scan),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_matches_scan_bf16():
+    scan = _sample(_cfg(sampler_impl="scan"), jnp.bfloat16)
+    fused = _sample(_cfg(sampler_impl="fused"), jnp.bfloat16)
+    # identical noise; difference is only matmul accumulation order
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(scan),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_deterministic_and_key_sensitive():
+    cfg = _cfg(sampler_impl="fused")
+    a = _sample(cfg, jnp.float32, seed=3)
+    b = _sample(cfg, jnp.float32, seed=3)
+    c = _sample(cfg, jnp.float32, seed=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+
+
+def test_auto_falls_back_for_deep_denoiser():
+    """num_blocks > 1 has no fused realization — 'auto' must run scan."""
+    out = _sample(_cfg(num_blocks=3, sampler_impl="auto"), jnp.float32)
+    assert out.shape == (3, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_op_batch_padding(monkeypatch):
+    """Grid-tiled batches: a batch that doesn't divide the tile must pad in
+    and slice out without touching real rows."""
+    monkeypatch.setattr(ddpm_sampler, "_CTX_BLOCK_BYTES",
+                        6 * 32 * 4 * 2)  # forces bt=2 at T=6, H=32
+    T, B, H, A = 6, 5, 32, 4
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 8)
+    noisy = jax.random.normal(ks[0], (B, A))
+    contexts = jax.random.normal(ks[1], (T, B, H))
+    noise = jax.random.normal(ks[2], (T, B, A))
+    coeffs = jnp.abs(jax.random.normal(ks[3], (T, 3))) * 0.1 + 0.5
+    wn = jax.random.normal(ks[4], (A, H)) * 0.1
+    bn = jax.random.normal(ks[5], (H,)) * 0.1
+    wo = jax.random.normal(ks[6], (H, A)) * 0.1
+    bo = jax.random.normal(ks[7], (A,)) * 0.1
+
+    tiled = ddpm_sampler.fused_ddpm_sample(
+        noisy, contexts, noise, coeffs, wn, bn, wo, bo,
+        clip_value=5.0, compute_dtype=jnp.float32, interpret=True)
+    assert tiled.shape == (B, A)
+
+    # reference loop in plain jnp
+    sample = noisy
+    for t in range(T):
+        h = jax.nn.relu(sample @ wn + bn + contexts[t])
+        eps = h @ wo + bo
+        sample = coeffs[t, 0] * (sample - coeffs[t, 1] * eps) \
+            + coeffs[t, 2] * noise[t]
+        sample = jnp.clip(sample, -5.0, 5.0)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(sample),
+                               rtol=1e-5, atol=1e-5)
