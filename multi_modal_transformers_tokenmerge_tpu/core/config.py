@@ -122,6 +122,10 @@ class TextEncoderConfig(_Replaceable):
     t5_d_kv: int = 64
     t5_rel_pos_buckets: int = 32
     t5_rel_pos_max_distance: int = 128
+    # lax.scan unroll for the block stack; 0 means fully unrolled.  At the
+    # 16-token instruction length the measured win of full unroll is ~1.1x
+    # on the tower (benchmarks/recorded/t5_unroll_r3.json)
+    t5_scan_unroll: int = 1
     frozen: bool = True
 
 

@@ -86,7 +86,7 @@ def octo_base(**overrides) -> OctoConfig:
         num_observation_blocks=2,
         tokens_per_readout=4,
         text=TextEncoderConfig(kind="t5", vocab_size=32128, max_length=16,
-                               embedding_dim=768),
+                               embedding_dim=768, t5_scan_unroll=0),
         images=ImageTokenizerConfig(
             image_size=(280, 280, 3), patch_size=56, position_interval=128,
             embedding_dim=768,

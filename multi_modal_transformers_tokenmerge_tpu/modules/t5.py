@@ -130,6 +130,10 @@ class T5EncoderStack(nn.Module):
     rel_pos_max_distance: int = 128
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # lax.scan unroll factor for the block stack: at short sequences the
+    # per-iteration dispatch dominates, so partially unrolling lets XLA
+    # fuse/pipeline across blocks at some compile-time cost
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, token_ids):  # (B, T) int32
@@ -159,6 +163,7 @@ class T5EncoderStack(nn.Module):
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=self.num_layers,
+            unroll=self.scan_unroll,
         )(self.num_heads, self.d_kv, self.d_ff, dtype=self.dtype,
           param_dtype=self.param_dtype, name="blocks")
         x, _ = stack(x, position_bias)

@@ -65,6 +65,9 @@ class FrozenT5TextEncoder(nn.Module):
             d_ff=self.cfg.t5_d_ff,
             rel_pos_buckets=self.cfg.t5_rel_pos_buckets,
             rel_pos_max_distance=self.cfg.t5_rel_pos_max_distance,
+            scan_unroll=(self.cfg.t5_num_layers
+                         if self.cfg.t5_scan_unroll == 0
+                         else self.cfg.t5_scan_unroll),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="t5_encoder",
