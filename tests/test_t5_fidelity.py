@@ -56,3 +56,28 @@ def test_native_t5_batch_invariance():
     batched = ours.apply(v, jnp.concatenate([ids, ids], axis=0))
     np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_scan_unroll_equivalence():
+    """scan_unroll is an execution knob: same params (stacked layout is
+    unchanged), same math.  Full unroll must reproduce the scanned stack."""
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, V, (3, 10)),
+                      dtype=jnp.int32)
+    scanned = T5EncoderStack(vocab_size=V, d_model=D, num_layers=L,
+                             num_heads=H, d_kv=DKV, d_ff=DFF,
+                             rel_pos_buckets=BUCKETS,
+                             rel_pos_max_distance=MAXDIST)
+    unrolled = T5EncoderStack(vocab_size=V, d_model=D, num_layers=L,
+                              num_heads=H, d_kv=DKV, d_ff=DFF,
+                              rel_pos_buckets=BUCKETS,
+                              rel_pos_max_distance=MAXDIST, scan_unroll=L)
+    variables = scanned.init(jax.random.PRNGKey(0), ids)
+    # identical param tree (unroll does not change the stacked layout)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, unrolled.init(jax.random.PRNGKey(0), ids))
+    a = scanned.apply(variables, ids)
+    b = unrolled.apply(variables, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
