@@ -281,8 +281,10 @@ def bench_serving_b1(model_vars, peak):
     The fori_loop is serial, so slope == true per-call device latency."""
     model, variables = model_vars
     rng = np.random.default_rng(1)
-    images = jnp.asarray(rng.integers(0, 256, (N_INPUTS, 1, 2, 280, 280, 3)),
-                         dtype=jnp.float32)
+    frames = 4 if MULTICAM else 2
+    images = jnp.asarray(
+        rng.integers(0, 256, (N_INPUTS, 1, frames, 280, 280, 3)),
+        dtype=jnp.float32)
     text = jnp.ones((1, 16), dtype=jnp.int32)
     text_emb = model.apply(variables, text, method="encode_text")
     key = jax.random.PRNGKey(7)

@@ -6,10 +6,13 @@ hardware contract in the repo) skip everywhere except here.  This script:
 
 1. runs ``tests/test_flash_dropout_tpu.py`` on the real chip
    (``TPU_LANE=1`` tells conftest to keep the TPU backend);
-2. runs an op-level flash-attention perf regression: forward speedup vs
+2. runs ``tests/test_ddpm_fused.py`` on the chip: the CPU suite only
+   exercises the fused DDPM sampler in Pallas interpret mode, so the
+   real Mosaic-compiled kernel is validated here;
+3. runs an op-level flash-attention perf regression: forward speedup vs
    XLA attention at S=1024 must stay above a floor (catches Mosaic /
    tile-size regressions that correctness tests cannot);
-3. writes one JSON artifact to TPU_LANE_r{N}.json (repo root) and
+4. writes one JSON artifact to TPU_LANE_r{N}.json (repo root) and
    benchmarks/recorded/.
 
 Run each round on hardware: ``python benchmarks/tpu_lane.py``.
@@ -27,14 +30,14 @@ ROUND = os.environ.get("TPU_LANE_ROUND", "3")
 MIN_SPEEDUP = float(os.environ.get("TPU_LANE_MIN_SPEEDUP", "1.2"))
 
 
-def run_dropout_tests():
+def run_hardware_tests(test_file, label):
     env = dict(os.environ, TPU_LANE="1")
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_flash_dropout_tpu.py",
+        [sys.executable, "-m", "pytest", f"tests/{test_file}",
          "-q", "--no-header", "-p", "no:cacheprovider"],
         cwd=ROOT, env=env, capture_output=True, text=True, timeout=1500)
     tail = (proc.stdout.strip().splitlines() or [""])[-1]
-    print(f"[tpu_lane] dropout tests: {tail}", file=sys.stderr, flush=True)
+    print(f"[tpu_lane] {label} tests: {tail}", file=sys.stderr, flush=True)
     m = re.search(r"(\d+) passed", tail)
     passed = int(m.group(1)) if m else 0
     skipped = bool(re.search(r"skipped", tail))
@@ -57,10 +60,12 @@ def run_flash_perf():
 
 
 def main():
-    dropout = run_dropout_tests()
+    dropout = run_hardware_tests("test_flash_dropout_tpu.py", "dropout")
+    sampler = run_hardware_tests("test_ddpm_fused.py", "fused sampler")
     perf = run_flash_perf()
     speedup = perf.get("forward_flash_speedup", 0.0) or 0.0
     ok = (not dropout["failed"] and dropout["passed"] >= 5
+          and not sampler["failed"] and sampler["passed"] >= 6
           and speedup >= MIN_SPEEDUP)
     out = {
         "metric": "tpu_hardware_lane",
@@ -69,6 +74,7 @@ def main():
         "vs_baseline": speedup,
         "detail": {
             "dropout_kernel_tests": dropout,
+            "fused_sampler_tests": sampler,
             "flash_op_perf": perf,
             "min_forward_speedup_required": MIN_SPEEDUP,
         },

@@ -170,6 +170,17 @@ class Octo(nn.Module):
         """Interleave modality streams into the token sequence: one concat +
         one static gather (reference uses per-set dynamic slices,
         token_sequencer.py:255-269)."""
+        for name, stream in (("text", embeddings.text),
+                             ("images", embeddings.images),
+                             ("readouts", embeddings.readouts)):
+            expected = self.layout.modality_tokens(name)
+            if stream.shape[1] != expected:
+                raise ValueError(
+                    f"{name} stream has {stream.shape[1]} tokens but the "
+                    f"sequence layout {self.config.input_sequence!r} expects "
+                    f"{expected} (e.g. wrong frame/camera count in the image "
+                    f"input) — the assembly gather would silently fill with "
+                    f"NaN otherwise")
         combined = jnp.concatenate(
             [embeddings.text, embeddings.images, embeddings.readouts], axis=1)
         perm = jnp.asarray(self.layout.assembly_permutation)

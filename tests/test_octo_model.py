@@ -168,3 +168,15 @@ def test_frozen_t5_receives_no_gradient():
     t5_grads = grads["text_encoder"]
     t5_total = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(t5_grads))
     assert t5_total == 0.0  # stop_gradient freezes the whole text tower
+
+
+def test_wrong_modality_token_count_raises(micro_model):
+    """A modality stream whose token count disagrees with the sequence
+    layout must fail loudly at trace time: the assembly gather is a
+    jnp.take whose out-of-bounds mode under jit is 'fill', which would
+    otherwise emit NaN embeddings silently (found live: a 2-frame input
+    fed to a 4-camera model NaN'd the whole forward)."""
+    model, v, text, _, keys = micro_model
+    bad_images = jnp.ones((2, 2, 64, 64, 3))  # 2 frames; micro is 1-frame
+    with pytest.raises(ValueError, match="images stream has .* tokens"):
+        model.apply(v, text, bad_images, method="generate_readouts")
