@@ -35,7 +35,7 @@ def run_hardware_tests(test_file, label):
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", f"tests/{test_file}",
          "-q", "--no-header", "-p", "no:cacheprovider"],
-        cwd=ROOT, env=env, capture_output=True, text=True, timeout=1500)
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=3600)
     tail = (proc.stdout.strip().splitlines() or [""])[-1]
     print(f"[tpu_lane] {label} tests: {tail}", file=sys.stderr, flush=True)
     m = re.search(r"(\d+) passed", tail)
