@@ -77,6 +77,13 @@ class ResNetEmbedderConfig(_Replaceable):
     # embedder_profile_r3.json).  'nhwc' is the flax-standard path kept
     # for A/B and non-TPU debugging.  Math and parameters are identical.
     conv_layout: str = "hwcn"  # 'hwcn' | 'nhwc'
+    # Max-pool backward implementation (hwcn layout only).  'pallas' routes
+    # the gradient through ops/pool.py's Pallas kernel instead of XLA's
+    # select_and_scatter (~5x its HBM traffic bound at embedder shapes);
+    # 'auto' picks pallas on TPU and xla elsewhere; 'xla' keeps the native
+    # VJP.  Default pending hardware measurement (round-2 rule: no
+    # unmeasured perf defaults).
+    pool_vjp: str = "xla"  # 'xla' | 'pallas' | 'auto'
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,7 @@ from ..ops.image_ops import (
     patchify,
     sample_position_tokens,
 )
+from ..ops.pool import max_pool_hwcn
 
 __all__ = ["ResNetV2Embedder", "ImageTokenizer"]
 
@@ -213,11 +214,22 @@ class ResNetV2Embedder(nn.Module):
         y = _ConvHWCN(c.features, tuple(c.input_kernel),
                       tuple(c.input_stride), "VALID", dtype=self.dtype,
                       param_dtype=self.param_dtype, name="input_conv")(xt)
-        # init must be the PYTHON -inf literal: a traced init defeats the
-        # reduce-window max-pool autodiff rule (select_and_scatter)
-        y = jax.lax.reduce_window(
-            y, -jnp.inf, jax.lax.max, (*c.pool_window, 1, 1),
-            (*c.pool_stride, 1, 1), "VALID")
+        pool_vjp = c.pool_vjp
+        if pool_vjp == "auto":
+            pool_vjp = ("pallas" if jax.default_backend() == "tpu"
+                        else "xla")
+        if pool_vjp == "pallas":
+            y = max_pool_hwcn(
+                y, c.pool_window, c.pool_stride, vjp="pallas",
+                interpret=jax.default_backend() not in ("tpu",))
+        elif pool_vjp == "xla":
+            # init must be the PYTHON -inf literal: a traced init defeats
+            # the reduce-window max-pool autodiff rule (select_and_scatter)
+            y = jax.lax.reduce_window(
+                y, -jnp.inf, jax.lax.max, (*c.pool_window, 1, 1),
+                (*c.pool_stride, 1, 1), "VALID")
+        else:
+            raise ValueError(f"unknown pool_vjp {c.pool_vjp!r}")
 
         residual = y
         for i in range(c.num_blocks):
