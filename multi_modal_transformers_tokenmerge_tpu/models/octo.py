@@ -142,10 +142,17 @@ class Octo(nn.Module):
     def generate_readouts_with_text(self, text_embeddings, images,
                                     train: bool = False):
         """Backbone with precomputed text embeddings (cached-text serving)."""
-        cfg = self.config
-        batch_size = images.shape[0]
-
         image_embeddings = self.image_encoder(images, train=train)
+        return self.generate_readouts_with_modalities(
+            text_embeddings, image_embeddings, train)
+
+    def generate_readouts_with_modalities(self, text_embeddings,
+                                          image_embeddings,
+                                          train: bool = False):
+        """Backbone with BOTH modality streams precomputed — serving with
+        an external (e.g. int8-quantized, serve/quantize.py) image tower
+        as well as cached text."""
+        batch_size = image_embeddings.shape[0]
         readout_embeddings = self.readout_tokens(batch_size)
 
         embeddings = self.assemble_embeddings(TokenEmbeddings(
@@ -249,6 +256,15 @@ class Octo(nn.Module):
                                            train: bool = False):
         readouts = self.generate_readouts_with_text(text_embeddings, images,
                                                     train)
+        return self.diffusion_action_head.predict_action(readouts, train)
+
+    def predict_diffusion_action_with_modalities(self, text_embeddings,
+                                                 image_embeddings,
+                                                 train: bool = False):
+        """Serving entry with BOTH towers external: cached text + an
+        int8-quantized image embedder (serve/quantize.py)."""
+        readouts = self.generate_readouts_with_modalities(
+            text_embeddings, image_embeddings, train)
         return self.diffusion_action_head.predict_action(readouts, train)
 
     def predict_continuous_action_with_text(self, text_embeddings, images,

@@ -30,7 +30,9 @@ import numpy as np
 from ..modules.t5 import relative_position_bucket
 
 __all__ = ["QTensor", "quantize_matrix", "int8_matmul",
-           "quantize_t5_params", "t5_encode_int8", "make_int8_text_encoder"]
+           "quantize_t5_params", "t5_encode_int8", "make_int8_text_encoder",
+           "quantize_image_tower", "image_embed_int8",
+           "make_int8_image_embedder"]
 
 
 @flax.struct.dataclass
@@ -158,6 +160,167 @@ def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
 
     x, _ = jax.lax.scan(block, x, qparams["layers"])
     return _rmsnorm(x, qparams["final_norm"]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# int8 image tower (the Gato patch embedder, modules/image_tokenizer.py)
+# ---------------------------------------------------------------------------
+#
+# Rationale: after the hwcn layout fix the embedder's convs + output dense
+# are MXU-BOUND (0.62-0.94 MFU, benchmarks/recorded/
+# embedder_profile_hwcn_r3.json) and make up ~65% of the octo_base forward
+# FLOPs — exactly the regime where the v5e MXU's 2x int8 byte path can pay
+# (unlike the latency-bound text tower at batch 32, where it measured
+# ~1.0x).  Weights are per-output-channel int8; activations are dynamic
+# per-tensor int8; GroupNorm/GELU/pool and the position embeddings stay
+# float, mirroring ResNetV2Embedder._call_hwcn (eval mode) exactly.
+
+
+def quantize_conv_kernel(kernel) -> QTensor:
+    """HWIO conv kernel -> int8 with per-output-channel scales."""
+    k = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q=q, scale=scale)
+
+
+def _quant_act_lanes(x):
+    """Dynamic per-lane (last-axis element = one patch) int8 activation
+    quantization: scale shape (N,) for (..., N) input."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=tuple(range(x.ndim - 1)))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_conv_hwcn(x, w: QTensor, strides, padding) -> jax.Array:
+    """(H, W, C, N) float conv with int8 inputs (per-patch activation
+    scales) and int32 accumulation."""
+    qx, x_scale = _quant_act_lanes(x)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.q.shape, ("HWCN", "HWIO", "HWCN"))
+    acc = jax.lax.conv_general_dilated(
+        qx, w.q, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    # output channel axis is 2, patch (lane) axis is 3 in HWCN
+    return acc.astype(jnp.float32) * (w.scale[:, None] * x_scale[None, :])
+
+
+def int8_matmul_tn(a, w: QTensor) -> jax.Array:
+    """(K, N) activations x (K, M) int8 kernel -> (N, M) float32, per-lane
+    dynamic activation scales (TN dot: contraction on dim 0, no
+    transpose)."""
+    qa, a_scale = _quant_act_lanes(a)  # (K, N) with per-N scales
+    acc = jax.lax.dot_general(qa, w.q, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * a_scale[:, None] * w.scale[None, :]
+
+
+def quantize_image_tower(model, variables) -> dict:
+    """Pre-quantize an Octo model's ImageTokenizer params for
+    :func:`image_embed_int8`."""
+    p = variables["params"]["image_encoder"]
+    rn = p["resnet"]
+    cfg = model.config.images
+    blocks = []
+    for i in range(cfg.resnet.num_blocks):
+        blocks.append({
+            "norm_scale": rn[f"block{i}_norm"]["scale"],
+            "norm_bias": rn[f"block{i}_norm"]["bias"],
+            "conv": quantize_conv_kernel(rn[f"block{i}_conv"]["kernel"]),
+            "conv_bias": rn[f"block{i}_conv"]["bias"],
+        })
+    return {
+        "input_conv": quantize_conv_kernel(rn["input_conv"]["kernel"]),
+        "input_bias": rn["input_conv"]["bias"],
+        "blocks": blocks,
+        "dense": quantize_matrix(
+            rn["output_dense"]["kernel"].reshape(
+                -1, cfg.resnet.output_features)),
+        "dense_bias": rn["output_dense"]["bias"],
+        "row_emb": p["row_position_embedding"]["embedding"],
+        "col_emb": p["col_position_embedding"]["embedding"],
+    }
+
+
+def image_embed_int8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
+    """Quantized eval-mode mirror of ``ImageTokenizer`` +
+    ``ResNetV2Embedder._call_hwcn`` (modules/image_tokenizer.py): int8
+    convs/dense, float pool/GroupNorm/GELU, constant eval position tokens.
+
+    cfg is the model's ``ImageTokenizerConfig``; images are
+    (B, H, W, C) or (B, F, H, W, C) exactly as the float tower takes them.
+    """
+    from ..ops.image_ops import eval_position_tokens, patchify
+
+    rcfg = cfg.resnet
+    if images.ndim == 4:
+        images = images[:, None]
+    b, f, hh, ww, ch = images.shape
+    p = cfg.patch_size
+    num_patches = (hh // p) * (ww // p)
+    g = f * num_patches
+
+    patches = patchify(images, p, cfg.normalize, dtype=jnp.float32)
+    xt = jnp.transpose(patches.reshape(b * g, p, p, ch), (1, 2, 3, 0))
+
+    y = int8_conv_hwcn(xt, qparams["input_conv"],
+                       tuple(rcfg.input_stride), "VALID")
+    y = y + qparams["input_bias"].astype(jnp.float32)[:, None]
+    y = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (*rcfg.pool_window, 1, 1),
+        (*rcfg.pool_stride, 1, 1), "VALID")
+
+    residual = y
+    cpg = rcfg.features // rcfg.group_norm_groups
+    for blk in qparams["blocks"]:
+        h2, w2, c2, bg = y.shape
+        if rcfg.norm_stats_scope == "image":
+            f6 = y.reshape(h2, w2, rcfg.group_norm_groups, cpg, bg // g, g)
+            axes = (0, 1, 3, 5)
+        elif rcfg.norm_stats_scope == "patch":
+            f6 = y.reshape(h2, w2, rcfg.group_norm_groups, cpg, bg)
+            axes = (0, 1, 3)
+        else:
+            raise ValueError(
+                f"unknown norm_stats_scope {rcfg.norm_stats_scope!r}")
+        mu = f6.mean(axis=axes, keepdims=True)
+        var = jnp.maximum(
+            0.0, (f6 * f6).mean(axis=axes, keepdims=True) - mu * mu)
+        f6 = (f6 - mu) * jax.lax.rsqrt(var + rcfg.group_norm_epsilon)
+        y = f6.reshape(h2, w2, c2, bg)
+        y = (y * blk["norm_scale"].astype(jnp.float32)[:, None]
+             + blk["norm_bias"].astype(jnp.float32)[:, None])
+        y = jax.nn.gelu(y)
+        y = int8_conv_hwcn(y, blk["conv"], (1, 1), "SAME")
+        y = y + blk["conv_bias"].astype(jnp.float32)[:, None]
+    y = y + residual
+
+    h2, w2, c2, bg = y.shape
+    out = int8_matmul_tn(y.reshape(h2 * w2 * c2, bg), qparams["dense"])
+    out = out + qparams["dense_bias"].astype(jnp.float32)
+    emb = out.reshape(b, g, rcfg.output_features)
+
+    r_np, c_np = eval_position_tokens(hh, p, cfg.position_interval)
+    rows = jnp.tile(jnp.asarray(r_np), f)
+    cols = jnp.tile(jnp.asarray(c_np), f)
+    emb = (emb + jnp.take(qparams["row_emb"], rows, axis=0)[None]
+           + jnp.take(qparams["col_emb"], cols, axis=0)[None])
+    return emb.astype(dtype)
+
+
+def make_int8_image_embedder(model, variables, dtype=jnp.bfloat16):
+    """Drop-in ``images -> (B, F*P, E)`` callable for the
+    ``*_with_modalities`` serving methods / PolicyEngine."""
+    qp = quantize_image_tower(model, variables)
+    cfg = model.config.images
+
+    def embed(images):
+        return image_embed_int8(qp, images, cfg, dtype=dtype)
+
+    return embed
 
 
 def make_int8_text_encoder(model, variables, dtype=jnp.bfloat16):

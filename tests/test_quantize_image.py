@@ -1,0 +1,121 @@
+"""int8 PTQ image tower (serve/quantize.py): the quantized embedder must
+track the float ImageTokenizer closely, and the ``*_with_modalities``
+serving path must run end-to-end with it.  Serving approximation —
+bounds are relative error / cosine similarity, not 1e-3 fidelity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
+    int8_conv_hwcn,
+    make_int8_image_embedder,
+    quantize_conv_kernel,
+)
+
+from micro_configs import octo_micro
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = octo_micro()
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((2, 4), jnp.int32)
+    images = jax.random.uniform(keys[3], (2, 64, 64, 3)) * 255.0
+    variables = model.init(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]}, text, images)
+    return model, variables, text, images
+
+
+def test_int8_conv_tracks_float():
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (16, 16, 8, 64))
+    w = jax.random.normal(kw, (3, 3, 8, 16)) * 0.1
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("HWCN", "HWIO", "HWCN"))
+    ref = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                       dimension_numbers=dn)
+    out = int8_conv_hwcn(x, quantize_conv_kernel(w), (1, 1), "SAME")
+    rel = (np.linalg.norm(np.asarray(out - ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize("frames", [None, 2])
+def test_int8_image_tower_tracks_float(model_and_vars, frames):
+    model, variables, _, _ = model_and_vars
+    shape = (2, 64, 64, 3) if frames is None else (2, frames, 64, 64, 3)
+    images = jax.random.uniform(jax.random.PRNGKey(7), shape) * 255.0
+
+    ref = model.apply(variables, images, train=False,
+                      method=lambda m, im, train: m.image_encoder(im, train))
+    got = make_int8_image_embedder(model, variables,
+                                   dtype=jnp.float32)(images)
+    assert got.shape == ref.shape
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.998, cos
+
+
+def test_with_modalities_end_to_end(model_and_vars):
+    model, variables, text, images = model_and_vars
+    text_emb = model.apply(variables, text, method="encode_text")
+    img_emb = make_int8_image_embedder(model, variables)(images)
+
+    act_q = model.apply(variables, text_emb, img_emb,
+                        rngs={"diffusion": jax.random.PRNGKey(5)},
+                        method="predict_diffusion_action_with_modalities")
+    act_f = model.apply(variables, text, images,
+                        rngs={"diffusion": jax.random.PRNGKey(5)},
+                        method="predict_diffusion_action")
+    assert act_q.shape == act_f.shape
+    assert np.all(np.isfinite(np.asarray(act_q)))
+
+    # the iterated random-init denoiser amplifies tower perturbations, so
+    # the quantitative bound is on the READOUTS feeding the heads...
+    ro_q = model.apply(variables, text_emb, img_emb,
+                       method="generate_readouts_with_modalities")
+    ro_f = model.apply(variables, text, images, method="generate_readouts")
+    ro_q, ro_f = np.asarray(ro_q, np.float32), np.asarray(ro_f, np.float32)
+    rel = np.linalg.norm(ro_q - ro_f) / np.linalg.norm(ro_f)
+    assert rel < 0.05, rel
+
+    # ... and on the deterministic continuous head's actions
+    ca_q = model.apply(variables, text_emb, img_emb,
+                       method=lambda m, te, ie:
+                       m.continuous_action_head(
+                           m.generate_readouts_with_modalities(te, ie)))
+    ca_f = model.apply(variables, text, images,
+                       method="predict_continuous_action")
+    # random-init 8-channel micro net is the worst case for PTQ (no
+    # central-limit averaging across channels); trained/base-width towers
+    # measure tighter (see test_int8_image_tower_tracks_float's 5% rel)
+    err = np.max(np.abs(np.asarray(ca_q - ca_f)))
+    assert err < 0.1, err
+
+
+def test_with_modalities_matches_with_text_float(model_and_vars):
+    """The new method with the FLOAT image tower must agree exactly with
+    the established with_text path (pure refactor equivalence)."""
+    model, variables, text, images = model_and_vars
+    text_emb = model.apply(variables, text, method="encode_text")
+    img_emb = model.apply(
+        variables, images, train=False,
+        method=lambda m, im, train: m.image_encoder(im, train))
+
+    a = model.apply(variables, text_emb, img_emb,
+                    rngs={"diffusion": jax.random.PRNGKey(9)},
+                    method="predict_diffusion_action_with_modalities")
+    b = model.apply(variables, text_emb, images,
+                    rngs={"diffusion": jax.random.PRNGKey(9)},
+                    method="predict_diffusion_action_with_text")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-6)
