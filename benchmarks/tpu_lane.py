@@ -62,10 +62,14 @@ def run_flash_perf():
 def main():
     dropout = run_hardware_tests("test_flash_dropout_tpu.py", "dropout")
     sampler = run_hardware_tests("test_ddpm_fused.py", "fused sampler")
+    # CPU runs these in interpret mode; here the Mosaic-compiled kernel
+    # (incl. first-match tie routing) is validated on hardware
+    pool = run_hardware_tests("test_pool_vjp.py", "pool backward")
     perf = run_flash_perf()
     speedup = perf.get("forward_flash_speedup", 0.0) or 0.0
     ok = (not dropout["failed"] and dropout["passed"] >= 5
           and not sampler["failed"] and sampler["passed"] >= 6
+          and not pool["failed"] and pool["passed"] >= 14
           and speedup >= MIN_SPEEDUP)
     out = {
         "metric": "tpu_hardware_lane",
@@ -75,6 +79,7 @@ def main():
         "detail": {
             "dropout_kernel_tests": dropout,
             "fused_sampler_tests": sampler,
+            "pool_backward_tests": pool,
             "flash_op_perf": perf,
             "min_forward_speedup_required": MIN_SPEEDUP,
         },

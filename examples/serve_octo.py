@@ -26,6 +26,8 @@ def main():
     p.add_argument("--head", default="continuous")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--image-tower", default="bf16", choices=["bf16", "int8"],
+                   help="int8: PTQ patch embedder (serve/quantize.py)")
     args = p.parse_args()
 
     cfg = get_preset(args.preset)
@@ -43,7 +45,8 @@ def main():
         jnp.zeros((args.batch, *image_shape)))
 
     engine = PolicyEngine(model, variables, head=args.head,
-                          batch_size=args.batch)
+                          batch_size=args.batch,
+                          image_tower=args.image_tower)
     t0 = time.time()
     engine.compile(text_shape, image_shape)
     print(f"AOT compile: {time.time() - t0:.1f}s")

@@ -35,7 +35,8 @@ class PolicyEngine:
 
     def __init__(self, model, variables, head: str = "diffusion",
                  batch_size: int = 1, rng: Optional[jax.Array] = None,
-                 cache_text: bool = True, tokenizer=None, mesh=None):
+                 cache_text: bool = True, tokenizer=None, mesh=None,
+                 image_tower: str = "bf16"):
         """``tokenizer``: optional callable mapping a list of instruction
         strings to an (B, T) int32 id array — e.g.
         ``utils.spm.T5StyleTokenizer`` over a local t5 sentencepiece model,
@@ -46,7 +47,12 @@ class PolicyEngine:
         (BASELINE config 5): parameters are replicated across the mesh,
         every request batch is sharded along the ``data`` axis, and XLA
         runs each shard on its own chip — ``batch_size`` then means the
-        GLOBAL batch and must divide by the data-axis size."""
+        GLOBAL batch and must divide by the data-axis size.
+
+        ``image_tower``: 'bf16' (the model's own encoder) or 'int8' — the
+        post-training-quantized patch embedder (serve/quantize.py),
+        routed through the ``*_with_modalities`` model methods.  A serving
+        approximation: actions track the float tower to a few percent."""
         if head not in _PREDICT_METHODS:
             raise ValueError(
                 f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
@@ -74,6 +80,21 @@ class PolicyEngine:
                     f"mesh data axis ({data_size})")
             self._batch_sharding = batch_sharding(mesh)
             self.variables = jax.device_put(variables, replicated(mesh))
+        if image_tower not in ("bf16", "int8"):
+            raise ValueError(
+                f"unknown image_tower {image_tower!r}; 'bf16' or 'int8'")
+        self.image_tower = image_tower
+        if image_tower == "int8":
+            from .quantize import quantize_image_tower
+            qp = quantize_image_tower(model, self.variables)
+            if mesh is not None:
+                from ..parallel.mesh import replicated
+                qp = jax.device_put(qp, replicated(mesh))
+            # one pytree through the compiled signature: model params +
+            # quantized tower travel together (AOT args, not consts)
+            self._serve_vars = {"model": self.variables, "img_q": qp}
+        else:
+            self._serve_vars = self.variables
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._step = 0
         self._compiled = None
@@ -132,6 +153,56 @@ class PolicyEngine:
                 lambda v, t: self.model.apply(v, t, method="encode_text"))
         return self._jit_cache["encode_text"]
 
+    # -- predict functions (shared by AOT and jit paths) ------------------
+
+    def _head_readouts_method(self):
+        head = self.head
+
+        def method(m, text_embeddings, image_embeddings):
+            readouts = m.generate_readouts_with_modalities(
+                text_embeddings, image_embeddings)
+            if head == "diffusion":
+                return m.diffusion_action_head.predict_action(readouts,
+                                                              False)
+            if head == "continuous":
+                return m.continuous_action_head(readouts)
+            return m.categorical_action_head(readouts)
+
+        return method
+
+    def _rngs(self, key):
+        return {"diffusion": key} if self.head == "diffusion" else None
+
+    def _predict_full(self, serve_vars, text_tokens, images, key):
+        """Tokens + images -> action, routing through the configured
+        image tower."""
+        rngs = self._rngs(key)
+        if self.image_tower == "int8":
+            from .quantize import image_embed_int8
+            v, qp = serve_vars["model"], serve_vars["img_q"]
+            emb = image_embed_int8(qp, images, self.model.config.images,
+                                   dtype=self.model.config.compute_dtype)
+            text_emb = self.model.apply(v, text_tokens,
+                                        method="encode_text")
+            return self.model.apply(v, text_emb, emb, rngs=rngs,
+                                    method=self._head_readouts_method())
+        return self.model.apply(serve_vars, text_tokens, images, rngs=rngs,
+                                method=_PREDICT_METHODS[self.head])
+
+    def _predict_cached(self, serve_vars, text_embeddings, images, key):
+        """Cached text embeddings + images -> action."""
+        rngs = self._rngs(key)
+        if self.image_tower == "int8":
+            from .quantize import image_embed_int8
+            v, qp = serve_vars["model"], serve_vars["img_q"]
+            emb = image_embed_int8(qp, images, self.model.config.images,
+                                   dtype=self.model.config.compute_dtype)
+            return self.model.apply(v, text_embeddings, emb, rngs=rngs,
+                                    method=self._head_readouts_method())
+        return self.model.apply(serve_vars, text_embeddings, images,
+                                rngs=rngs,
+                                method=_CACHED_METHODS[self.head])
+
     # -- compilation -----------------------------------------------------
 
     def load_artifact(self, blob_or_path) -> "PolicyEngine":
@@ -139,6 +210,11 @@ class PolicyEngine:
         for the full text+images path — no compilation in this process.
         The cached-instruction path still jit-compiles on first use."""
         from .export import load_policy
+        if self.image_tower != "bf16":
+            raise ValueError(
+                "exported policy artifacts serve the model's own (bf16) "
+                "image tower; build an image_tower='bf16' engine or "
+                "compile() the int8 engine in-process")
         self._compiled = load_policy(blob_or_path)
         return self
 
@@ -156,27 +232,22 @@ class PolicyEngine:
             rep, bat = replicated(self.mesh), self._batch_sharding
             var_shapes = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                               sharding=rep), self.variables)
+                                               sharding=rep),
+                self._serve_vars)
             mk = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt,
                                                         sharding=bat)
         else:
             var_shapes = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                self.variables)
+                self._serve_vars)
             mk = jax.ShapeDtypeStruct
         images = mk((self.batch_size, *image_shape), jnp.float32)
         key = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
-        method = _PREDICT_METHODS[self.head]
-
-        def fn(variables, text_tokens, images, key):
-            rngs = {"diffusion": key} if self.head == "diffusion" else None
-            return self.model.apply(variables, text_tokens, images,
-                                    rngs=rngs, method=method)
-
         text = mk((self.batch_size, *text_shape), jnp.int32)
         self._compiled = (
-            jax.jit(fn).lower(var_shapes, text, images, key).compile())
+            jax.jit(self._predict_full)
+            .lower(var_shapes, text, images, key).compile())
         # warmup buffers are locals: keeping them on self would pin
         # batch-sized device arrays for the engine's lifetime
         zero_images = self._place(
@@ -185,24 +256,17 @@ class PolicyEngine:
             zero_text = self._place(
                 jnp.zeros((self.batch_size, *text_shape), jnp.int32))
             self._warm(self._compiled,
-                       (self.variables, zero_text, zero_images,
+                       (self._serve_vars, zero_text, zero_images,
                         jax.random.key_data(self._rng)))
 
         if self.cache_text:
-            cached_method = _CACHED_METHODS[self.head]
             emb_dim = self.model.config.token_embedding_dim
-
-            def fn_cached(variables, text_embeddings, images, key):
-                rngs = {"diffusion": key} if self.head == "diffusion" else None
-                return self.model.apply(variables, text_embeddings, images,
-                                        rngs=rngs, method=cached_method)
-
             text_emb = mk(
                 (self.batch_size, *text_shape, emb_dim),
                 self.model.config.compute_dtype)
             self._compiled_cached = (
-                jax.jit(fn_cached).lower(var_shapes, text_emb, images,
-                                         key).compile())
+                jax.jit(self._predict_cached)
+                .lower(var_shapes, text_emb, images, key).compile())
             if warmup:
                 # warm the cached-path executable ONCE here (zero
                 # embeddings suffice) — instruction switches then never
@@ -211,7 +275,7 @@ class PolicyEngine:
                     (self.batch_size, *text_shape, emb_dim),
                     self.model.config.compute_dtype))
                 self._warm(self._compiled_cached,
-                           (self.variables, zero_emb, zero_images,
+                           (self._serve_vars, zero_emb, zero_images,
                             jax.random.key_data(self._rng)))
         return self
 
@@ -225,7 +289,7 @@ class PolicyEngine:
         """
         key = jax.random.fold_in(self._rng, self._step)
         self._step += 1
-        rngs = {"diffusion": key} if self.head == "diffusion" else None
+        key_data = jax.random.key_data(key)
 
         images = self._place(jnp.asarray(images))
         if text_tokens is not None:
@@ -238,21 +302,18 @@ class PolicyEngine:
                     "or pass text_tokens")
             if self._compiled_cached is not None:
                 return self._compiled_cached(
-                    self.variables, self._text_embeddings, images,
-                    jax.random.key_data(key))
-            return self._jitted(_CACHED_METHODS[self.head])(
-                self.variables, self._text_embeddings, images, rngs)
+                    self._serve_vars, self._text_embeddings, images,
+                    key_data)
+            return self._jitted("cached", self._predict_cached)(
+                self._serve_vars, self._text_embeddings, images, key_data)
 
         if self._compiled is not None:
-            return self._compiled(self.variables, text_tokens, images,
-                                  jax.random.key_data(key))
-        return self._jitted(_PREDICT_METHODS[self.head])(
-            self.variables, text_tokens, images, rngs)
+            return self._compiled(self._serve_vars, text_tokens, images,
+                                  key_data)
+        return self._jitted("full", self._predict_full)(
+            self._serve_vars, text_tokens, images, key_data)
 
-    def _jitted(self, method):
-        if method not in self._jit_cache:
-            def fn(variables, text_arg, images, rngs):
-                return self.model.apply(variables, text_arg, images,
-                                        rngs=rngs, method=method)
-            self._jit_cache[method] = jax.jit(fn)
-        return self._jit_cache[method]
+    def _jitted(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]

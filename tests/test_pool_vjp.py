@@ -20,6 +20,9 @@ from multi_modal_transformers_tokenmerge_tpu.modules.image_tokenizer import (
 from multi_modal_transformers_tokenmerge_tpu.ops.pool import max_pool_hwcn
 
 
+INTERPRET = jax.default_backend() != "tpu"
+
+
 def _xla_pool(x, window=(3, 3), strides=(1, 1)):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (*window, 1, 1), (*strides, 1, 1),
@@ -58,7 +61,7 @@ def test_pool_bwd_routing_exact(h, w, c, n, window, dtype):
         jax.random.randint(kg, (oh, ow, c, n), 1, 17), dtype)
 
     ours = _grads(
-        lambda v: max_pool_hwcn(v, window, interpret=True), x, g)
+        lambda v: max_pool_hwcn(v, window, interpret=INTERPRET), x, g)
     ref = _grads(lambda v: _xla_pool(v, window), x, g)
     np.testing.assert_array_equal(np.asarray(ours, np.float32),
                                   np.asarray(ref, np.float32))
@@ -77,7 +80,7 @@ def test_pool_bwd_matches_xla_float(h, w, c, n, window, dtype):
     g = jax.random.normal(kg, (oh, ow, c, n)).astype(dtype)
 
     ours = _grads(
-        lambda v: max_pool_hwcn(v, window, interpret=True), x, g)
+        lambda v: max_pool_hwcn(v, window, interpret=INTERPRET), x, g)
     ref = _grads(lambda v: _xla_pool(v, window), x, g)
     tol = 2e-6 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(np.asarray(ours, np.float32),
@@ -90,7 +93,7 @@ def test_pool_bwd_constant_input_ties():
     # window's raster-order-first element
     x = jnp.ones((6, 6, 16, 128), jnp.float32)
     g = jnp.ones((4, 4, 16, 128), jnp.float32)
-    ours = _grads(lambda v: max_pool_hwcn(v, (3, 3), interpret=True), x, g)
+    ours = _grads(lambda v: max_pool_hwcn(v, (3, 3), interpret=INTERPRET), x, g)
     ref = _grads(lambda v: _xla_pool(v, (3, 3)), x, g)
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
     # first-match: position (0,0) collects exactly its covering windows
@@ -101,7 +104,7 @@ def test_pool_bwd_constant_input_ties():
 def test_pool_forward_unchanged():
     x = jax.random.normal(jax.random.PRNGKey(1), (9, 9, 16, 128))
     np.testing.assert_array_equal(
-        np.asarray(max_pool_hwcn(x, (3, 3), interpret=True)),
+        np.asarray(max_pool_hwcn(x, (3, 3), interpret=INTERPRET)),
         np.asarray(_xla_pool(x)))
 
 

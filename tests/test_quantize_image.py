@@ -102,6 +102,34 @@ def test_with_modalities_end_to_end(model_and_vars):
     assert err < 0.1, err
 
 
+def test_policy_engine_int8_tower(model_and_vars):
+    from multi_modal_transformers_tokenmerge_tpu.serve.policy import (
+        PolicyEngine,
+    )
+    model, variables, text, images = model_and_vars
+
+    eng_f = PolicyEngine(model, variables, head="continuous", batch_size=2)
+    eng_q = PolicyEngine(model, variables, head="continuous", batch_size=2,
+                         image_tower="int8")
+    a_f = np.asarray(eng_f(images, text_tokens=text))
+    a_q = np.asarray(eng_q(images, text_tokens=text))
+    assert a_q.shape == a_f.shape
+    assert np.max(np.abs(a_q - a_f)) < 0.1
+
+    # cached-instruction path agrees with the direct path (same tower)
+    eng_q.set_instruction(text)
+    cached = np.asarray(eng_q(images))
+    np.testing.assert_allclose(cached, a_q, rtol=1e-5, atol=1e-5)
+
+    # AOT path agrees with the jit path
+    eng_aot = PolicyEngine(model, variables, head="continuous",
+                           batch_size=2, image_tower="int8")
+    eng_aot.compile((4,), (64, 64, 3))
+    eng_aot.set_instruction(text)
+    np.testing.assert_allclose(np.asarray(eng_aot(images)), cached,
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_with_modalities_matches_with_text_float(model_and_vars):
     """The new method with the FLOAT image tower must agree exactly with
     the established with_text path (pure refactor equivalence)."""
