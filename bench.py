@@ -262,6 +262,29 @@ def main():
             detail["deep_stack_tome_224tok_12blk"] = bench_deep()
             detail["flash_attention_s1024"] = bench_flash(peak)
             detail["attention_op_s1024"] = bench_flash_op(peak)
+            # round-3 measurement gates: Pallas pool backward + int8
+            # image tower (both ship default-off until these numbers
+            # win).  Defensive: a kernel-compile failure here must not
+            # take down the headline artifact.
+            for key_, thunk in (
+                ("pool_bwd_pallas", bench_pool_bwd),
+                ("train_pool_pallas", lambda: bench_train(
+                    configs["ours_bf16"].replace(
+                        images=configs["ours_bf16"].images.replace(
+                            resnet=configs["ours_bf16"].images.resnet
+                            .replace(pool_vjp="pallas"))),
+                    images_stack, text, peak)),
+                ("int8_image_tower", lambda: bench_int8_image(
+                    models["ours_bf16"], images_stack, peak,
+                    results["ours_bf16"])),
+            ):
+                try:
+                    detail[key_] = thunk()
+                except Exception as e:  # noqa: BLE001 — record, don't die
+                    log(f"[bench] {key_} FAILED: {type(e).__name__}: "
+                        f"{str(e)[:300]}")
+                    detail[key_] = {"error":
+                                    f"{type(e).__name__}: {str(e)[:300]}"}
 
     ours = results["ours_bf16_tome"]
     base = results["baseline_f32"]
@@ -388,6 +411,116 @@ def bench_int8_text(model_vars, images_stack, text, peak, bf16_entry):
         log(f"[bench] text tower b={bsz}: bf16 {s_bf*1e3:.3f} ms, "
             f"int8 {s_i8*1e3:.3f} ms ({s_bf/s_i8:.2f}x)")
     out["tower_only_sweep"] = sweep
+    return out
+
+
+def bench_pool_bwd():
+    """Op-level max-pool backward at embedder shapes: XLA
+    select_and_scatter vs the Pallas kernel (ops/pool.py).  Gates
+    pool_vjp's default."""
+    from multi_modal_transformers_tokenmerge_tpu.ops.pool import (
+        max_pool_hwcn)
+
+    dt = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(11), 2)
+    x2 = jax.random.normal(ks[0], (2, 23, 23, 64, BATCH * 50), dt)
+    g2 = jax.random.normal(ks[1], (2, 21, 21, 64, BATCH * 50), dt)
+
+    def xla_pool(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (3, 3, 1, 1), (1, 1, 1, 1), "VALID")
+
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs
+
+    def pal_pool(x):
+        return max_pool_hwcn(x, (3, 3), (1, 1), vjp="pallas",
+                             interpret=interp)
+
+    out = {}
+    for name, fn in (("xla", xla_pool), ("pallas", pal_pool)):
+        def grad_step(i, x2, g2, fn=fn):
+            x = jax.lax.dynamic_index_in_dim(x2, i % 2, keepdims=False)
+            g = jax.lax.dynamic_index_in_dim(g2, i % 2, keepdims=False)
+            _, vjp = jax.vjp(fn, x)
+            return jnp.sum(vjp(g)[0].astype(jnp.float32))
+
+        sec = sec_per_call(build_loop(grad_step), (x2, g2),
+                           f"pool_bwd_{name}")
+        out[f"{name}_ms"] = round(sec * 1e3, 3)
+    out["pallas_speedup"] = round(out["xla_ms"] / max(out["pallas_ms"],
+                                                      1e-9), 3)
+    log(f"[bench] pool_bwd: xla {out['xla_ms']} ms, pallas "
+        f"{out['pallas_ms']} ms ({out['pallas_speedup']}x)")
+    return out
+
+
+def bench_int8_image(model_vars, images_stack, peak, bf16_entry):
+    """obs->action with the image tower int8-quantized
+    (serve/quantize.py): patch embedder on the MXU's 2x byte path, rest
+    of the model unchanged via predict_diffusion_action_with_modalities.
+    Text embeddings cached (the serving configuration this targets)."""
+    from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
+        image_embed_int8, quantize_image_tower)
+
+    model, variables = model_vars
+    icfg = model.config.images
+    qp = quantize_image_tower(model, variables)
+    text_emb = jax.jit(
+        lambda v, t: model.apply(v, t, method="encode_text"))(
+        variables,
+        jnp.ones((BATCH, model.config.text.max_length), jnp.int32))
+
+    def tower_bf16(i, variables, images_stack):
+        img = jax.lax.dynamic_index_in_dim(images_stack,
+                                           i % images_stack.shape[0],
+                                           keepdims=False)
+        out = model.apply(variables, img, train=False,
+                          method=lambda m, x, train:
+                          m.image_encoder(x, train))
+        return jnp.sum(out.astype(jnp.float32))
+
+    def tower_int8(i, qp, images_stack):
+        img = jax.lax.dynamic_index_in_dim(images_stack,
+                                           i % images_stack.shape[0],
+                                           keepdims=False)
+        out = image_embed_int8(qp, img, icfg,
+                               dtype=model.config.compute_dtype)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def e2e_int8(i, variables, qp, text_emb, images_stack, key):
+        img = jax.lax.dynamic_index_in_dim(images_stack,
+                                           i % images_stack.shape[0],
+                                           keepdims=False)
+        emb = image_embed_int8(qp, img, icfg,
+                               dtype=model.config.compute_dtype)
+        rngs = {"diffusion": jax.random.fold_in(key, i)}
+        out = model.apply(variables, text_emb, emb, rngs=rngs,
+                          method="predict_diffusion_action_with_modalities")
+        return jnp.sum(out.astype(jnp.float32))
+
+    s_bf = sec_per_call(build_loop(tower_bf16), (variables, images_stack),
+                        "img_tower_bf16")
+    s_i8 = sec_per_call(build_loop(tower_int8), (qp, images_stack),
+                        "img_tower_int8")
+    key = jax.random.PRNGKey(13)
+    s_e2e = sec_per_call(build_loop(e2e_int8),
+                         (variables, qp, text_emb, images_stack, key),
+                         "img_tower_int8_e2e")
+    out = {
+        "tower_bf16_ms": round(s_bf * 1e3, 3),
+        "tower_int8_ms": round(s_i8 * 1e3, 3),
+        "tower_speedup": round(s_bf / max(s_i8, 1e-9), 3),
+        "e2e_int8_cachedtext_ms": round(s_e2e * 1e3, 3),
+        "e2e_inf_per_sec": round(BATCH / s_e2e, 1),
+    }
+    if peak:
+        flops = (bf16_entry.get("gflops_per_call") or 0) * 1e9
+        if flops and flops / s_e2e > 2 * peak:  # int8 peak = 2x bf16
+            log("[bench] FATAL: int8 image variant exceeds int8 peak")
+            raise SystemExit(1)
+    log(f"[bench] int8_image: tower {out['tower_bf16_ms']} -> "
+        f"{out['tower_int8_ms']} ms ({out['tower_speedup']}x); e2e "
+        f"{out['e2e_int8_cachedtext_ms']} ms cached-text")
     return out
 
 

@@ -44,6 +44,10 @@ def main():
     p.add_argument("--recordio", default=None, metavar="FILE",
                    help="stream batches from FILE via the native record "
                         "loader (synthetic data written there on first use)")
+    p.add_argument("--episodes", default=None, metavar="FILE",
+                   help="stream frame-history windows from an EPISODE "
+                        "file (utils/episodes.py; synthetic episodes "
+                        "written there on first use)")
     args = p.parse_args()
 
     cfg = get_preset(args.preset)
@@ -86,7 +90,48 @@ def main():
         sharding = batch_sharding(mesh)
         print(f"data-parallel over {mesh.shape} devices")
 
-    if args.recordio:
+    if args.episodes:
+        import numpy as np
+
+        from multi_modal_transformers_tokenmerge_tpu.utils.episodes import (
+            EpisodeWindowSampler, write_episodes)
+        if not os.path.exists(args.episodes):
+            rng = np.random.default_rng(0)
+            n_eps, written = max(args.batch, 16), 0
+
+            def eps():
+                nonlocal written
+                for _ in range(n_eps):
+                    t = int(rng.integers(6, 14))
+                    written += t
+                    yield {
+                        "images": rng.integers(
+                            0, 255, (t, *img_cfg.image_size), np.uint8),
+                        "actions": rng.normal(
+                            0, 0.3, (t, head_cfg.action_space_dim)
+                        ).astype(np.float32),
+                        "text_ids": rng.integers(
+                            0, cfg.text.vocab_size,
+                            (cfg.text.max_length,)).astype(np.int32),
+                    }
+
+            write_episodes(args.episodes, eps())
+            print(f"wrote {n_eps} synthetic episodes ({written} steps) "
+                  f"to {args.episodes}")
+        sampler = EpisodeWindowSampler(args.episodes, args.batch,
+                                       frames=frames, shuffle_seed=0)
+        print(f"episode windows: {sampler.num_steps} steps, "
+              f"{frames}-frame history")
+
+        def episode_batches():
+            for b in sampler:
+                img = b["images"].astype(np.float32)
+                if frames == 1:
+                    img = img[:, 0]
+                yield (b["text_ids"].astype(np.int32), img, b["actions"])
+
+        batches = episode_batches()
+    elif args.recordio:
         from multi_modal_transformers_tokenmerge_tpu.utils.recordio import (
             RecordReader, write_records)
         if not os.path.exists(args.recordio):

@@ -100,6 +100,8 @@ class PolicyEngine:
         self._compiled = None
         self._compiled_cached = None
         self._text_embeddings = None
+        self._instruction_cache = {}  # ids bytes -> (T, E); LRU order
+        self._instruction_cache_max = 512
         # per-instance jit caches (an lru_cache on a method would key on
         # self and pin every engine — and its variables pytree — for the
         # life of the process)
@@ -115,6 +117,39 @@ class PolicyEngine:
         self._text_embeddings = self._encode_text_fn()(
             self.variables, self._place(jnp.asarray(self._tokenize(text))))
         return self
+
+    def encode_instruction(self, text):
+        """Encode ONE instruction -> (T, E) embeddings, memoized (bounded
+        LRU).  Unlike :meth:`set_instruction` (one instruction for the
+        whole batch), these per-instruction rows can be STACKED into a
+        mixed batch and passed as ``text_embeddings=`` — different batch
+        elements then follow different instructions with the text tower
+        still amortized (see serve/server.py).  Accepts a raw string
+        (needs ``tokenizer``) or pre-tokenized (T,) / (1, T) ids."""
+        import numpy as np
+        if isinstance(text, str):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "string instruction given but no tokenizer configured")
+            ids = np.asarray(self.tokenizer([text]))
+        else:
+            ids = np.asarray(text)
+            if ids.ndim == 1:
+                ids = ids[None]
+        if ids.shape[0] != 1:
+            raise ValueError(
+                f"encode_instruction takes ONE instruction, got batch "
+                f"{ids.shape[0]}")
+        key = ids.tobytes()
+        hit = self._instruction_cache.pop(key, None)
+        if hit is None:
+            hit = self._encode_text_fn()(self.variables,
+                                         jnp.asarray(ids))[0]
+        self._instruction_cache[key] = hit  # reinsert = mark recent
+        while len(self._instruction_cache) > self._instruction_cache_max:
+            self._instruction_cache.pop(
+                next(iter(self._instruction_cache)))
+        return hit
 
     @staticmethod
     def _warm(fn, args):
@@ -281,31 +316,38 @@ class PolicyEngine:
 
     # -- serving ---------------------------------------------------------
 
-    def __call__(self, images, text_tokens=None) -> jax.Array:
+    def __call__(self, images, text_tokens=None,
+                 text_embeddings=None) -> jax.Array:
         """One obs->action inference.
 
         With a cached instruction (``set_instruction``), only images are
-        needed; passing ``text_tokens`` overrides the cache for this call.
+        needed; ``text_tokens`` overrides the cache for this call;
+        ``text_embeddings`` (B, T, E) serves a MIXED-instruction batch —
+        stack rows from :meth:`encode_instruction`.
         """
         key = jax.random.fold_in(self._rng, self._step)
         self._step += 1
         key_data = jax.random.key_data(key)
 
         images = self._place(jnp.asarray(images))
+        if text_tokens is not None and text_embeddings is not None:
+            raise ValueError(
+                "pass text_tokens or text_embeddings, not both")
         if text_tokens is not None:
             text_tokens = self._place(
                 jnp.asarray(self._tokenize(text_tokens)))
         if text_tokens is None:
-            if self._text_embeddings is None:
+            emb = (self._text_embeddings if text_embeddings is None
+                   else self._place(jnp.asarray(text_embeddings)))
+            if emb is None:
                 raise ValueError(
                     "no instruction set: call set_instruction(text_tokens) "
-                    "or pass text_tokens")
+                    "or pass text_tokens / text_embeddings")
             if self._compiled_cached is not None:
                 return self._compiled_cached(
-                    self._serve_vars, self._text_embeddings, images,
-                    key_data)
+                    self._serve_vars, emb, images, key_data)
             return self._jitted("cached", self._predict_cached)(
-                self._serve_vars, self._text_embeddings, images, key_data)
+                self._serve_vars, emb, images, key_data)
 
         if self._compiled is not None:
             return self._compiled(self._serve_vars, text_tokens, images,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..modules.t5 import relative_position_bucket
+from ..ops.image_ops import eval_position_tokens, patchify
 
 __all__ = ["QTensor", "quantize_matrix", "int8_matmul",
            "quantize_t5_params", "t5_encode_int8", "make_int8_text_encoder",
@@ -253,8 +254,6 @@ def image_embed_int8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
     cfg is the model's ``ImageTokenizerConfig``; images are
     (B, H, W, C) or (B, F, H, W, C) exactly as the float tower takes them.
     """
-    from ..ops.image_ops import eval_position_tokens, patchify
-
     rcfg = cfg.resnet
     if images.ndim == 4:
         images = images[:, None]

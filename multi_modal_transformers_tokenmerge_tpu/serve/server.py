@@ -53,7 +53,7 @@ class PolicyServer:
         shutdown = RuntimeError("policy server stopped")
         while True:
             try:
-                _, slot, done = self._requests.get_nowait()
+                _, _, slot, done = self._requests.get_nowait()
             except queue.Empty:
                 break
             slot["error"] = shutdown
@@ -67,16 +67,23 @@ class PolicyServer:
 
     # -- client API --------------------------------------------------------
 
-    def predict(self, images: np.ndarray, timeout: float = 30.0):
+    def predict(self, images: np.ndarray, instruction=None,
+                timeout: float = 30.0):
         """Blocking single-observation obs->action.  ``images`` has NO batch
-        dim; returns the action for this observation."""
+        dim; returns the action for this observation.
+
+        ``instruction`` (a string or pre-tokenized (T,) ids) selects this
+        REQUEST's instruction — requests with different instructions batch
+        together (per-row cached text embeddings,
+        ``PolicyEngine.encode_instruction``).  Without it the engine's
+        ``set_instruction`` default applies."""
         if self._thread is None or self._stop.is_set():
             raise RuntimeError(
                 "policy server is not running (call start() / use the "
                 "context manager before predict())")
         done = threading.Event()
         slot = {}
-        self._requests.put((images, slot, done))
+        self._requests.put((images, instruction, slot, done))
         if not done.wait(timeout):
             raise TimeoutError("policy server did not respond")
         if "error" in slot:
@@ -110,11 +117,34 @@ class PolicyServer:
             if n < self.batch_size:  # pad the tail
                 pad = np.repeat(images[-1:], self.batch_size - n, axis=0)
                 images = np.concatenate([images, pad])
-            actions = np.asarray(self.engine(jnp.asarray(images)))
-            for i, (_, slot, done) in enumerate(batch):
+            if any(b[1] is not None for b in batch):
+                # mixed-instruction batch: one cached (T, E) row per
+                # request (encode_instruction memoizes; a never-seen
+                # instruction costs one text-tower call here)
+                default = self.engine._text_embeddings
+                rows = []
+                for _, instr, _, _ in batch:
+                    if instr is not None:
+                        rows.append(self.engine.encode_instruction(instr))
+                    elif default is not None:
+                        rows.append(default[0])
+                    else:
+                        raise ValueError(
+                            "request without instruction but the engine "
+                            "has no set_instruction default")
+                emb = jnp.stack(rows)
+                if n < self.batch_size:
+                    emb = jnp.concatenate(
+                        [emb, jnp.repeat(emb[-1:], self.batch_size - n,
+                                         axis=0)])
+                actions = np.asarray(
+                    self.engine(jnp.asarray(images), text_embeddings=emb))
+            else:
+                actions = np.asarray(self.engine(jnp.asarray(images)))
+            for i, (_, _, slot, done) in enumerate(batch):
                 slot["action"] = actions[i]
                 done.set()
         except Exception as e:  # propagate to all waiters
-            for _, slot, done in batch:
+            for _, _, slot, done in batch:
                 slot["error"] = e
                 done.set()

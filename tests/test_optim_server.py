@@ -156,3 +156,71 @@ def test_policy_server_propagates_errors(engine):
     with PolicyServer(engine, max_wait_ms=1.0) as server:
         with pytest.raises(Exception):
             server.predict(np.ones((3, 3), np.float32))  # bad image shape
+
+
+def test_encode_instruction_cache_and_equivalence(engine):
+    ids = jnp.asarray(np.array([1, 2, 3, 2], np.int32))
+    e1 = engine.encode_instruction(ids)
+    e2 = engine.encode_instruction(ids)
+    assert e1 is e2  # memoized
+    # equals the batched text tower on the same ids
+    ref = engine.model.apply(engine.variables, ids[None],
+                             method="encode_text")[0]
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # batch input rejected
+    with pytest.raises(ValueError):
+        engine.encode_instruction(jnp.ones((2, 4), jnp.int32))
+
+
+def test_mixed_instruction_batch_matches_tokens_path(engine):
+    ids_a = jnp.asarray(np.array([1, 2, 3, 4], np.int32))
+    ids_b = jnp.asarray(np.array([5, 6, 7, 8], np.int32))
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (4, 64, 64, 3)),
+        jnp.float32)
+
+    emb = jnp.stack([engine.encode_instruction(ids_a),
+                     engine.encode_instruction(ids_b),
+                     engine.encode_instruction(ids_a),
+                     engine.encode_instruction(ids_b)])
+    mixed = engine(images, text_embeddings=emb)
+
+    tokens = jnp.stack([ids_a, ids_b, ids_a, ids_b])
+    direct = engine(images, text_tokens=tokens)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        engine(images, text_tokens=tokens, text_embeddings=emb)
+
+
+def test_policy_server_mixed_instructions(engine):
+    import threading
+    ids = [np.asarray([9 + i, 1, 2, 3], np.int32) for i in range(3)]
+    rng = np.random.default_rng(1)
+    imgs = [rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+            for _ in range(3)]
+
+    # ground truth: per-request mixed batch via the engine directly
+    want = []
+    for instr, im in zip(ids, imgs):
+        emb = jnp.broadcast_to(engine.encode_instruction(instr),
+                               (4, *engine.encode_instruction(instr).shape))
+        batch = jnp.broadcast_to(jnp.asarray(im), (4, 64, 64, 3))
+        want.append(np.asarray(engine(batch, text_embeddings=emb))[0])
+
+    with PolicyServer(engine, max_wait_ms=50.0) as server:
+        results = [None] * 3
+
+        def call(i):
+            results[i] = server.predict(imgs[i], instruction=ids[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        [t.start() for t in threads]
+        [t.join(timeout=60) for t in threads]
+    for i in range(3):
+        assert results[i] is not None
+        np.testing.assert_allclose(results[i], want[i], rtol=1e-4,
+                                   atol=1e-4)
