@@ -148,6 +148,21 @@ class AttentionConfig(_Replaceable):
 
 
 @dataclass(frozen=True)
+class MoEConfig(_Replaceable):
+    """Mixture-of-experts MLP (no reference counterpart — EP capability).
+
+    Dense-dispatch GShard/Switch routing with stacked ``(E, ...)`` expert
+    params; expert-parallel over the mesh 'model' axis (parallel/mesh.py).
+    """
+
+    num_experts: int = 4
+    top_k: int = 1
+    capacity_factor: float = 1.25
+    router_noise: float = 0.0  # multiplicative jitter width at train time
+    aux_loss_weight: float = 0.01
+
+
+@dataclass(frozen=True)
 class TransformerConfig(_Replaceable):
     """Stacked pre-LN encoder blocks
     (reference: attention_blocks/attention.py:41-119)."""
@@ -156,6 +171,11 @@ class TransformerConfig(_Replaceable):
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     mlp_dim: int = 768
     mlp_activation: str = "relu"
+    # 'dense' is the reference MLP; 'moe' swaps in the expert-parallel
+    # mixture-of-experts block (modules/moe.py) — aux loss is sown under
+    # the 'losses' collection (apply with mutable=['losses'] to train it)
+    mlp_type: str = "dense"  # 'dense' | 'moe'
+    moe: MoEConfig = field(default_factory=MoEConfig)
     dropout_rate: float = 0.1
     layer_norm_epsilon: float = 1e-6
     # 'features' is standard transformer LN.  'sequence_compat' reproduces

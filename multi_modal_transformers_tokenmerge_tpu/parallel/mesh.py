@@ -89,6 +89,13 @@ def _spec_for_param(path: str, shape, model_parallel: bool,
         elif tail in ("dense_out/kernel", "wo/kernel"):
             # (..., F, E): contract over the sharded hidden dim
             _try(2)
+        elif leaf[-1] in ("expert_wi", "expert_wo"):
+            # stacked experts (..., E, D, F): expert parallelism — shard
+            # the expert dim; XLA inserts the dispatch/combine all-to-alls
+            _try(3)
+        elif leaf[-1] in ("expert_bi", "expert_bo"):
+            # (..., E, F): expert-dim shard to match the kernels
+            _try(2)
 
     if fsdp and data_size > 1 and all(s is None for s in spec):
         # shard the largest divisible axis of big replicated params over data
