@@ -128,6 +128,37 @@ class _ConvHWCN(nn.Module):
         return y + bias.astype(self.dtype)[:, None]
 
 
+def group_norm_stats_hwcn(f, num_groups: int, epsilon: float,
+                          stats_scope: str, frames_patches: int):
+    """Statistics + normalization for GroupNorm on an (H, W, C, B*G)
+    operand (float32 in, float32 out, NO affine) — shared by the float
+    tower (``_GroupNormHWCN``) and the int8 serving mirror
+    (serve/quantize.py ``image_embed_int8``) so numerical fixes apply to
+    both once.
+
+    Uses flax's fast-variance formula var = E[x^2] - mu^2, CLAMPED at zero
+    exactly like flax's ``_compute_stats`` — cancellation on near-constant
+    large-magnitude groups drives the raw value negative past epsilon and
+    rsqrt would emit NaN.
+    """
+    h, w, c, bg = f.shape
+    g = num_groups
+    cpg = c // g
+    if stats_scope == "image":
+        f6 = f.reshape(h, w, g, cpg, bg // frames_patches, frames_patches)
+        axes = (0, 1, 3, 5)
+    elif stats_scope == "patch":
+        f6 = f.reshape(h, w, g, cpg, bg)
+        axes = (0, 1, 3)
+    else:
+        raise ValueError(f"unknown norm_stats_scope {stats_scope!r}")
+    mu = f6.mean(axis=axes, keepdims=True)
+    var = jnp.maximum(
+        0.0, (f6 * f6).mean(axis=axes, keepdims=True) - mu * mu)
+    f6 = (f6 - mu) * jax.lax.rsqrt(var + epsilon)
+    return f6.reshape(h, w, c, bg)
+
+
 class _GroupNormHWCN(nn.Module):
     """GroupNorm on (H, W, C, B*G) operands, float32 statistics, with the
     two stats scopes of the NHWC path:
@@ -149,33 +180,14 @@ class _GroupNormHWCN(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (H, W, C, B*G)
-        h, w, c, bg = x.shape
+        c = x.shape[2]
         scale = self.param("scale", nn.initializers.ones, (c,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,),
                           self.param_dtype)
-        g = self.num_groups
-        cpg = c // g
-        f = x.astype(jnp.float32)
-        if self.stats_scope == "image":
-            gp = self.frames_patches
-            f6 = f.reshape(h, w, g, cpg, bg // gp, gp)
-            axes = (0, 1, 3, 5)
-        elif self.stats_scope == "patch":
-            f6 = f.reshape(h, w, g, cpg, bg)
-            axes = (0, 1, 3)
-        else:
-            raise ValueError(
-                f"unknown norm_stats_scope {self.stats_scope!r}")
-        # fast-variance formula (flax default): var = E[x^2] - mu^2,
-        # CLAMPED at zero exactly like flax's _compute_stats — cancellation
-        # on near-constant large-magnitude groups drives the raw value
-        # negative past epsilon and rsqrt would emit NaN
-        mu = f6.mean(axis=axes, keepdims=True)
-        var = jnp.maximum(
-            0.0, (f6 * f6).mean(axis=axes, keepdims=True) - mu * mu)
-        f6 = (f6 - mu) * jax.lax.rsqrt(var + self.epsilon)
-        f = f6.reshape(h, w, c, bg)
+        f = group_norm_stats_hwcn(
+            x.astype(jnp.float32), self.num_groups, self.epsilon,
+            self.stats_scope, self.frames_patches)
         f = (f * scale.astype(jnp.float32)[:, None]
              + bias.astype(jnp.float32)[:, None])
         return f.astype(self.dtype)

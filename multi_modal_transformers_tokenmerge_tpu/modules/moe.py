@@ -125,11 +125,15 @@ class MoEMLPBlock(nn.Module):
         return y.astype(self.dtype), aux.astype(jnp.float32)
 
 
-def moe_aux_loss(mutated_variables, weight: float) -> jax.Array:
-    """Total weighted MoE auxiliary loss from ``mutable=['losses']`` output.
+def moe_aux_loss(mutated_variables, weight: float = 1.0) -> jax.Array:
+    """Total MoE auxiliary loss from ``mutable=['losses']`` output.
 
-    ``TransformerStack`` sows one ``moe_aux`` entry (the per-layer sum);
-    this flattens whatever is present so nested/multiple stacks also work.
+    ``TransformerStack`` sows one ``moe_aux`` entry per stack, ALREADY
+    weighted by its ``cfg.moe.aux_loss_weight`` — entries in 'losses' are
+    ready-to-add objective terms.  ``weight`` (default 1.0) is an extra
+    global scale for custom setups.  This flattens whatever is present so
+    nested/multiple stacks also work.  The standard train step
+    (train/steps.py make_train_step) adds this automatically.
     """
     losses = mutated_variables.get("losses", {})
     leaves = jax.tree_util.tree_leaves(losses)

@@ -140,7 +140,10 @@ class PolicyEngine:
             raise ValueError(
                 f"encode_instruction takes ONE instruction, got batch "
                 f"{ids.shape[0]}")
-        key = ids.tobytes()
+        # dtype/shape are part of the key: byte-identical buffers of
+        # different dtypes (e.g. int64 [1, 2] vs int32 [1, 0, 2, 0]) are
+        # DIFFERENT instructions and must not alias
+        key = (ids.dtype.str, ids.shape, ids.tobytes())
         hit = self._instruction_cache.pop(key, None)
         if hit is None:
             hit = self._encode_text_fn()(self.variables,

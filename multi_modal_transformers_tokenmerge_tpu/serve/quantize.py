@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..modules.image_tokenizer import group_norm_stats_hwcn
 from ..modules.t5 import relative_position_bucket
 from ..ops.image_ops import eval_position_tokens, patchify
 
@@ -273,23 +274,12 @@ def image_embed_int8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
         (*rcfg.pool_stride, 1, 1), "VALID")
 
     residual = y
-    cpg = rcfg.features // rcfg.group_norm_groups
     for blk in qparams["blocks"]:
-        h2, w2, c2, bg = y.shape
-        if rcfg.norm_stats_scope == "image":
-            f6 = y.reshape(h2, w2, rcfg.group_norm_groups, cpg, bg // g, g)
-            axes = (0, 1, 3, 5)
-        elif rcfg.norm_stats_scope == "patch":
-            f6 = y.reshape(h2, w2, rcfg.group_norm_groups, cpg, bg)
-            axes = (0, 1, 3)
-        else:
-            raise ValueError(
-                f"unknown norm_stats_scope {rcfg.norm_stats_scope!r}")
-        mu = f6.mean(axis=axes, keepdims=True)
-        var = jnp.maximum(
-            0.0, (f6 * f6).mean(axis=axes, keepdims=True) - mu * mu)
-        f6 = (f6 - mu) * jax.lax.rsqrt(var + rcfg.group_norm_epsilon)
-        y = f6.reshape(h2, w2, c2, bg)
+        # stats math shared with the float tower so numerical fixes
+        # (e.g. the var>=0 clamp) apply to both once
+        y = group_norm_stats_hwcn(y, rcfg.group_norm_groups,
+                                  rcfg.group_norm_epsilon,
+                                  rcfg.norm_stats_scope, g)
         y = (y * blk["norm_scale"].astype(jnp.float32)[:, None]
              + blk["norm_bias"].astype(jnp.float32)[:, None])
         y = jax.nn.gelu(y)

@@ -81,9 +81,25 @@ class PolicyServer:
             raise RuntimeError(
                 "policy server is not running (call start() / use the "
                 "context manager before predict())")
+        if instruction is None and self.engine._text_embeddings is None:
+            # reject HERE rather than in the batch worker: a bad request
+            # raised inside _run would fail every request coalesced into
+            # the same batch
+            raise ValueError(
+                "request without instruction but the engine has no "
+                "set_instruction default — pass instruction= or call "
+                "engine.set_instruction() first")
         done = threading.Event()
         slot = {}
         self._requests.put((images, instruction, slot, done))
+        if self._stop.is_set() and not done.is_set():
+            # stop() may have drained the queue between our running check
+            # and the put landing; fail fast instead of blocking the full
+            # timeout on a request nobody will serve.  (If stop()'s drain
+            # did catch the entry, done is already set and slot holds the
+            # same shutdown error.)
+            slot["error"] = RuntimeError("policy server stopped")
+            done.set()
         if not done.wait(timeout):
             raise TimeoutError("policy server did not respond")
         if "error" in slot:

@@ -59,14 +59,24 @@ class CheckpointManager:
 
         ``abstract_state`` (a pytree of jax.ShapeDtypeStruct with shardings)
         restores directly into a sharded on-device layout.
+
+        Checkpoints written before the Metrics generalization (scalar
+        ``count`` instead of per-metric ``counts``) are migrated on
+        restore: the single count seeds every declared metric's count.
         """
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint found")
         if abstract_state is not None:
-            return self._mgr.restore(
-                step, args=ocp.args.StandardRestore(abstract_state))
-        return self._mgr.restore(step)
+            try:
+                return self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(abstract_state))
+            except Exception:
+                import flax.serialization as ser
+                raw = _migrate_legacy_metrics(self._mgr.restore(step))
+                structured = ser.from_state_dict(abstract_state, raw)
+                return jax.tree.map(_place_like, abstract_state, structured)
+        return _migrate_legacy_metrics(self._mgr.restore(step))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -77,3 +87,28 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def _migrate_legacy_metrics(tree):
+    """Rewrite a raw restored state dict from the pre-generalization
+    Metrics layout ({'sums': {...}, 'count': x}) to the current one
+    ({'sums': {...}, 'counts': {name: x, ...}})."""
+    if isinstance(tree, dict):
+        if ("count" in tree and "counts" not in tree
+                and isinstance(tree.get("sums"), dict)):
+            tree = dict(tree)
+            count = tree.pop("count")
+            tree["counts"] = {n: count for n in tree["sums"]}
+            return tree
+        return {k: _migrate_legacy_metrics(v) for k, v in tree.items()}
+    return tree
+
+
+def _place_like(abstract, value):
+    """Place a restored leaf per an abstract ShapeDtypeStruct (dtype cast +
+    sharding if one is attached)."""
+    if not hasattr(abstract, "dtype"):
+        return value
+    arr = jnp.asarray(value, abstract.dtype)
+    sharding = getattr(abstract, "sharding", None)
+    return jax.device_put(arr, sharding) if sharding is not None else arr

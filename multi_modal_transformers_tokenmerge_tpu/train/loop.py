@@ -8,6 +8,7 @@ checkpointing, optionally sharded over a device mesh.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Iterable, Optional
 
 import jax
@@ -77,6 +78,25 @@ def fit(state: OctoTrainState,
     return state
 
 
+@functools.lru_cache(maxsize=8)
+def _make_eval_step(apply_fn, method):
+    """Jitted eval step, cached per (apply_fn, method) so repeated
+    evaluate() calls (e.g. from fit's eval_fn hook) reuse the compiled
+    executable instead of retracing a fresh closure every call."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def eval_step(params, rngs, text, images, actions):
+        # train=False: eval-mode forward (no dropout, midpoint patch
+        # positions) — the loss methods default train=True for the
+        # train step's convenience
+        loss = apply_fn({"params": params}, text, images, actions,
+                        rngs=rngs, train=False, method=method)
+        return jnp.mean(loss)
+
+    return eval_step
+
+
 def evaluate(state: OctoTrainState,
              batches: Iterable,
              head: str,
@@ -84,24 +104,19 @@ def evaluate(state: OctoTrainState,
              mesh=None) -> dict:
     """Average the head's loss over ``num_batches`` held-out batches — no
     gradients, no state mutation (the reference has no eval path at all).
+    Runs the model in EVAL mode (train=False: dropout off, deterministic
+    patch positions), so the measured loss is the deployed model's.
 
-    Deterministic given ``state.rngs``: stochastic pieces (patch
-    positions, diffusion timesteps) fold a fixed eval offset plus the
-    batch index, so repeated calls on the same data agree.
+    Deterministic given ``state.rngs``: stochastic pieces (diffusion
+    timesteps) fold a fixed eval offset plus the batch index, so repeated
+    calls on the same data agree.
     """
-    import jax.numpy as jnp
-
     from .state import Metrics
     from .steps import LOSS_METHODS
 
     method = LOSS_METHODS[head]
     sharding = batch_sharding(mesh) if mesh is not None else None
-
-    @jax.jit
-    def eval_step(params, rngs, text, images, actions):
-        loss = state.apply_fn({"params": params}, text, images, actions,
-                              rngs=rngs, method=method)
-        return jnp.mean(loss)
+    eval_step = _make_eval_step(state.apply_fn, method)
 
     metrics = Metrics.empty(loss="avg")
     it = iter(batches)

@@ -45,15 +45,25 @@ def make_train_step(head: str, donate: bool = True, jit: bool = True,
     except KeyError:
         raise ValueError(f"unknown head {head!r}; one of {sorted(LOSS_METHODS)}")
 
+    # auxiliary objective terms (e.g. the MoE load-balance loss) are sown
+    # into the 'losses' collection pre-weighted; applying with
+    # mutable=['losses'] surfaces them so they are trained — without it
+    # flax silently drops the sow and e.g. a Switch router gets no balance
+    # gradient.  Dense models sow nothing and pay nothing.
+    def _total_loss(apply_fn, params, rngs, text, images, actions):
+        loss, mut = apply_fn({"params": params}, text, images, actions,
+                             rngs=rngs, method=method, mutable=["losses"])
+        aux = sum(jnp.sum(leaf) for leaf in
+                  jax.tree_util.tree_leaves(mut.get("losses", {})))
+        return jnp.mean(loss) + aux
+
     def step(state: OctoTrainState, text_tokens, images, actions):
         rngs = state.step_rngs()
 
         if accum_steps == 1:
             def loss_fn(params):
-                loss = state.apply_fn({"params": params}, text_tokens,
-                                      images, actions, rngs=rngs,
-                                      method=method)
-                return jnp.mean(loss)
+                return _total_loss(state.apply_fn, params, rngs,
+                                   text_tokens, images, actions)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
         else:
@@ -71,10 +81,8 @@ def make_train_step(head: str, donate: bool = True, jit: bool = True,
                            for k, v in rngs.items()}
 
                 def loss_fn(params):
-                    loss = state.apply_fn({"params": params}, text_mb,
-                                          img_mb, act_mb, rngs=mb_rngs,
-                                          method=method)
-                    return jnp.mean(loss)
+                    return _total_loss(state.apply_fn, params, mb_rngs,
+                                       text_mb, img_mb, act_mb)
 
                 l, g = jax.value_and_grad(loss_fn)(state.params)
                 acc_l, acc_g = carry

@@ -154,21 +154,82 @@ def test_moe_ep_sharded_parity():
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), got_g, ref_g)
 
 
-def test_transformer_stack_moe_sows_aux():
-    cfg = TransformerConfig(
+def test_transformer_stack_moe_sows_weighted_aux():
+    """The stack sows the aux loss PRE-WEIGHTED by cfg.moe.aux_loss_weight
+    (ready-to-add objective term), so doubling the weight doubles the sow."""
+    def sown(weight):
+        cfg = TransformerConfig(
+            num_blocks=2,
+            attention=AttentionConfig(num_heads=2, qkv_features=8,
+                                      dropout_rate=0.0),
+            mlp_dim=16, dropout_rate=0.0, mlp_type="moe",
+            moe=MoEConfig(num_experts=2, top_k=1, capacity_factor=2.0,
+                          aux_loss_weight=weight))
+        stack = TransformerStack(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 8))
+        variables = stack.init(jax.random.PRNGKey(0), x)
+        y, mutated = stack.apply(variables, x, mutable=["losses"])
+        assert y.shape == x.shape
+        return float(moe_aux_loss(mutated))
+
+    a = sown(0.01)
+    assert a > 0
+    np.testing.assert_allclose(sown(0.02), 2 * a, rtol=1e-6)
+    # dense path sows nothing and the helper returns 0
+    dense_cfg = TransformerConfig(
         num_blocks=2, attention=AttentionConfig(num_heads=2, qkv_features=8,
                                                 dropout_rate=0.0),
-        mlp_dim=16, dropout_rate=0.0, mlp_type="moe",
-        moe=MoEConfig(num_experts=2, top_k=1, capacity_factor=2.0))
-    stack = TransformerStack(cfg)
+        mlp_dim=16, dropout_rate=0.0)
+    dense = TransformerStack(dense_cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 8))
-    variables = stack.init(jax.random.PRNGKey(0), x)
-    y, mutated = stack.apply(variables, x, mutable=["losses"])
-    assert y.shape == x.shape
-    aux = moe_aux_loss(mutated, weight=0.5)
-    assert float(aux) > 0
-    # dense path sows nothing and the helper returns 0
-    dense = TransformerStack(cfg.replace(mlp_type="dense"))
     dvars = dense.init(jax.random.PRNGKey(0), x)
     _, dmut = dense.apply(dvars, x, mutable=["losses"])
-    assert float(moe_aux_loss(dmut, 0.5)) == 0.0
+    assert float(moe_aux_loss(dmut)) == 0.0
+
+
+def test_train_step_trains_moe_router():
+    """make_train_step surfaces the sown MoE aux loss: the router weight
+    gets a nonzero gradient through the STANDARD train path (a silent
+    mutable-collection drop would leave it exactly zero and untrained)."""
+    import optax
+
+    from micro_configs import octo_micro
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    from multi_modal_transformers_tokenmerge_tpu.train.state import (
+        create_train_state)
+    from multi_modal_transformers_tokenmerge_tpu.train.steps import (
+        make_train_step)
+
+    base = octo_micro()
+    cfg = base.replace(transformer=base.transformer.replace(
+        mlp_type="moe",
+        moe=MoEConfig(num_experts=2, top_k=1, capacity_factor=2.0,
+                      aux_loss_weight=0.1)))
+    model = Octo(cfg)
+    b = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((b, 4), jnp.int32)
+    images = jax.random.uniform(keys[0], (b, 64, 64, 3)) * 255
+    actions = jnp.full((b, 4), 0.3)
+    variables = model.init(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]}, text, images)
+    state = create_train_state(
+        model, variables, optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    step = make_train_step("continuous", donate=False)
+    _, loss = step(state, text, images, actions)
+    assert np.isfinite(float(loss))
+
+    # the step's objective must equal mean(head loss) + sown weighted aux —
+    # if the mutable=['losses'] plumbing regresses, flax silently drops the
+    # sow and the step loss collapses to the head loss alone
+    rngs = {name: jax.random.fold_in(key, state.step)
+            for name, key in state.rngs.items()}
+    head_loss, mut = model.apply(
+        {"params": state.params}, text, images, actions, rngs=rngs,
+        method="compute_l2_loss", mutable=["losses"])
+    aux = float(moe_aux_loss(mut))
+    assert aux > 0
+    np.testing.assert_allclose(float(loss),
+                               float(jnp.mean(head_loss)) + aux, rtol=1e-5)

@@ -136,6 +136,43 @@ def test_checkpoint_roundtrip_with_frozen_mask(tmp_path, setup):
     assert np.isfinite(float(loss))
 
 
+def test_checkpoint_restores_legacy_metrics_layout(tmp_path, setup):
+    """Checkpoints written before the Metrics generalization stored a
+    single scalar 'count' instead of per-metric 'counts'; restore must
+    migrate them instead of failing on the pytree-structure mismatch."""
+    import flax.serialization as ser
+
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    step = make_train_step("continuous")
+    state, _ = step(state, text, images, actions)
+
+    legacy = ser.to_state_dict(state)
+    m = legacy["metrics"]
+    legacy["metrics"] = {"sums": m["sums"], "count": m["counts"]["loss"]}
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(1, legacy)
+    mgr.wait()
+
+    # raw restore migrates in place
+    raw = mgr.restore(1)
+    assert "counts" in raw["metrics"] and "count" not in raw["metrics"]
+    np.testing.assert_array_equal(np.asarray(raw["metrics"]["counts"]["loss"]),
+                                  np.asarray(m["counts"]["loss"]))
+
+    # abstract-state restore falls back to the migration path
+    restored = mgr.restore(1, abstract_state=jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert set(restored.metrics.counts) == set(state.metrics.counts)
+    mgr.close()
+
+
 def test_policy_engine_cached_text_matches(setup):
     cfg, model, variables, keys, text, images, actions = setup
     engine = PolicyEngine(model, variables, head="continuous", batch_size=4)
@@ -395,6 +432,14 @@ def test_evaluate_and_fit_eval_hook(setup):
     assert ev1["loss"] == pytest.approx(ev2["loss"])  # deterministic
     # state untouched
     assert int(state.step) == 0
+
+    # eval runs the model in EVAL mode: the loss equals a train=False
+    # forward (dropout off, midpoint patch positions) — NOT the train-mode
+    # loss the step function optimizes
+    expected = float(jnp.mean(model.apply(
+        {"params": state.params}, text, images, actions, train=False,
+        method="compute_l2_loss")))
+    assert ev1["loss"] == pytest.approx(expected, rel=1e-5)
 
     logged = []
 
