@@ -195,6 +195,41 @@ def test_mixed_instruction_batch_matches_tokens_path(engine):
         engine(images, text_tokens=tokens, text_embeddings=emb)
 
 
+def test_policy_server_rejects_missing_instruction_early(engine):
+    """A request with no instruction and no engine default is rejected in
+    predict() itself — before enqueueing — so it cannot poison a batch of
+    valid requests (review fix: the old check raised inside the batch
+    worker and failed every coalesced request)."""
+    import threading
+
+    bare = PolicyEngine(engine.model, engine.variables, head="continuous",
+                        batch_size=4)  # no set_instruction default
+    ids = np.asarray([1, 2, 3, 4], np.int32)
+    img = np.ones((64, 64, 3), np.float32)
+    with PolicyServer(bare, max_wait_ms=20.0) as server:
+        result = {}
+
+        def valid():
+            result["a"] = server.predict(img, instruction=ids)
+
+        t = threading.Thread(target=valid)
+        t.start()
+        # rejected synchronously, while the valid request is in flight
+        with pytest.raises(ValueError, match="no set_instruction default"):
+            server.predict(img)
+        t.join(timeout=60)
+    assert "a" in result and np.isfinite(result["a"]).all()
+
+
+def test_policy_server_predict_after_stop_raises(engine):
+    server = PolicyServer(engine, max_wait_ms=1.0).start()
+    img = np.ones((64, 64, 3), np.float32)
+    assert server.predict(img).shape == (1, 4)
+    server.stop()
+    with pytest.raises(RuntimeError, match="not running"):
+        server.predict(img)
+
+
 def test_policy_server_mixed_instructions(engine):
     import threading
     ids = [np.asarray([9 + i, 1, 2, 3], np.int32) for i in range(3)]
