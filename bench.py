@@ -900,7 +900,48 @@ def main_deep():
     }), flush=True)
 
 
+def wait_for_backend(max_wait_s: float = None):
+    """Block until the device backend answers (or the budget runs out).
+
+    The axon TPU is time-shared behind a tunnel that can be unavailable
+    for stretches; jax.devices() then either hangs or raises.  Polling in
+    a subprocess (a hung in-process call cannot be cancelled) keeps the
+    bench alive through an outage window instead of recording a failure.
+    BENCH_WAIT_S overrides the budget (0 disables waiting).
+    """
+    import subprocess
+
+    max_wait_s = float(os.environ.get("BENCH_WAIT_S", max_wait_s or 1800))
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True,
+                timeout=max(60.0, min(300.0, deadline - time.time())))
+            up = probe.returncode == 0 and "ok" in probe.stdout
+        except subprocess.TimeoutExpired:
+            up = False
+        if up:
+            if attempt > 1:
+                log(f"[bench] backend up after {attempt} probes")
+            return True
+        if time.time() >= deadline:
+            log(f"[bench] backend still unavailable after {attempt} probes "
+                f"({max_wait_s:.0f}s budget) — proceeding anyway")
+            return False
+        log(f"[bench] backend unavailable (probe {attempt}); retrying in 60s")
+        time.sleep(60)
+
+
 if __name__ == "__main__":
+    try:
+        wait_for_backend()
+    except Exception as e:  # the wait is best-effort, never fatal
+        log(f"[bench] backend wait skipped: {e}")
     if DECOMP:
         main_decomp()
     elif DEEP:
