@@ -58,7 +58,7 @@ def _tile_keep_mask(seed_ref, bi, h, q_tile, k_tile, shape, rate: float):
 
 
 def _flash_kernel(k_hi_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                  block_k: int, sm_scale: float, num_k_blocks: int,
+                  block_k: int, sm_scale: float,
                   num_heads: int, head_dim: int):
     """One program handles a (batch, q-tile) pair for ALL heads: the mask
     tile and K/V rows are loaded once and reused across heads (the mask is
@@ -122,7 +122,6 @@ def _flash_attention_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
     b, s, h, d = q.shape
     s_pad = mask_i8.shape[0]
     num_q_blocks = s_pad // block_q
-    num_k_blocks = s_pad // block_k
     sm_scale = 1.0 / math.sqrt(d)
 
     def to_bshd_flat(x):
@@ -147,7 +146,7 @@ def _flash_attention_impl(q, k, v, mask_i8, k_hi, *, mask_key, block_q,
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale,
-                          num_k_blocks=num_k_blocks, num_heads=h, head_dim=d),
+                          num_heads=h, head_dim=d),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
         interpret=interpret,
@@ -198,9 +197,11 @@ def _flash_fwd_lse_impl(q, k, v, mask_i8, k_hi, seed, *, mask_key, block_q,
 
 
 @functools.partial(jax.jit, static_argnames=("mask_key", "block_q", "block_k",
-                                             "interpret", "dropout_rate"))
+                                             "interpret", "dropout_rate",
+                                             "out_dtype"))
 def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, seed, *,
-                    mask_key, block_q, block_k, interpret, dropout_rate=0.0):
+                    mask_key, block_q, block_k, interpret, dropout_rate=0.0,
+                    out_dtype=None):
     b, s, h, d = q.shape
     s_pad = mask_i8.shape[0]
     num_q_blocks = s_pad // block_q
@@ -232,7 +233,8 @@ def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, seed, *,
                           sm_scale=sm_scale, num_heads=h, head_dim=d,
                           dropout_rate=dropout_rate),
         grid_spec=dq_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h * d),
+                                       out_dtype or q.dtype),
         interpret=interpret,
     )(k_hi, seed, qf, kf, vf, dof, lse, delta, mask_i8)
 
@@ -259,8 +261,10 @@ def _flash_bwd_impl(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, seed, *,
                           num_heads=h, head_dim=d,
                           dropout_rate=dropout_rate),
         grid_spec=dkv_spec,
-        out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d), k.dtype),
-                   jax.ShapeDtypeStruct((b, s_pad, h * d), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((b, s_pad, h * d),
+                                        out_dtype or k.dtype),
+                   jax.ShapeDtypeStruct((b, s_pad, h * d),
+                                        out_dtype or v.dtype)),
         interpret=interpret,
     )(q_lo, seed, qf, kf, vf, dof, lse, delta, mask_i8)
 
@@ -279,31 +283,22 @@ _TABLE_CACHE_MAX = 256
 def _qlo_table(mask_key, block_q: int, block_k: int):
     """Per-k-tile lowest q-tile index with any allowed attention."""
     padded, _ = _mask_tables(mask_key, block_q, block_k)
-    s_pad = padded.shape[0]
-    num_k = s_pad // block_k
-    num_q = s_pad // block_q
-    q_lo = np.zeros((num_k,), dtype=np.int32)
-    for ki in range(num_k):
-        cols = padded[:, ki * block_k:(ki + 1) * block_k]
-        rows = np.nonzero(cols.any(axis=1))[0]
-        q_lo[ki] = num_q if rows.size == 0 else rows.min() // block_q
-    return q_lo
+    return tile_skip_tables(padded, block_q, block_k)[1]
 
 
 @functools.lru_cache(maxsize=_TABLE_CACHE_MAX)
 def _mask_tables(mask_key, block_q: int, block_k: int):
+    """Tile-aligned padded mask + per-q-tile key bound for a registered
+    mask.  The bound scans are shared with ``tile_skip_tables`` (one
+    implementation of the skip logic for both the registry path and the
+    ring's per-shard tables)."""
     mask = np.asarray(_MASK_REGISTRY[mask_key])
     s = mask.shape[0]
     lcm = np.lcm(block_q, block_k)
     s_pad = int(lcm * -(-s // lcm))
     padded = np.zeros((s_pad, s_pad), dtype=np.int8)
     padded[:s, :s] = mask.astype(np.int8)
-    num_q = s_pad // block_q
-    k_hi = np.zeros((num_q,), dtype=np.int32)
-    for qi in range(num_q):
-        rows = padded[qi * block_q:(qi + 1) * block_q]
-        cols = np.nonzero(rows.any(axis=0))[0]
-        k_hi[qi] = 0 if cols.size == 0 else (cols.max() // block_k) + 1
+    k_hi, _ = tile_skip_tables(padded, block_q, block_k)
     return padded, k_hi
 
 
@@ -533,17 +528,19 @@ def flash_fwd_lse(q, k, v, mask_i8, k_hi, *, block_q, block_k,
 
 
 def flash_bwd(q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, *, block_q,
-              block_k, interpret=False):
+              block_k, interpret=False, out_dtype=None):
     """Backward flash kernels (dq, dk, dv) with traced mask/tables — the
     ring-step counterpart of ``flash_fwd_lse``.  ``lse``/``delta`` are the
     (B, H, S) row statistics of the FULL softmax (already merged across
     ring steps), so per-step probabilities reconstruct the exact global
-    weights."""
+    weights.  ``out_dtype`` (e.g. float32 for ring accumulation) keeps the
+    kernels' f32 partials unquantized — the same rationale as
+    ``flash_fwd_lse``'s out_dtype."""
     seed = jnp.asarray(_ZERO_SEED)
     return _flash_bwd_impl(
         q, k, v, do, lse, delta, mask_i8, k_hi, q_lo, seed,
         mask_key="__dynamic__", block_q=block_q, block_k=block_k,
-        interpret=interpret, dropout_rate=0.0)
+        interpret=interpret, dropout_rate=0.0, out_dtype=out_dtype)
 
 
 def _xla_reference_attention(q, k, v, mask_bool):
@@ -708,6 +705,12 @@ def flash_attention(q, k, v, mask: np.ndarray, *, block_q: int = None,
             raise ValueError(f"dropout_rate {dropout_rate} not in (0, 1)")
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 requires dropout_rng")
+        if interpret:
+            raise ValueError(
+                "flash attention dropout requires real TPU hardware: "
+                "pallas interpret mode has no PRNG lowering "
+                "(pltpu.prng_random_bits), so interpret=True would die "
+                "deep in Mosaic with an opaque error")
         key_arr = dropout_rng
         if jnp.issubdtype(jnp.asarray(key_arr).dtype, jax.dtypes.prng_key):
             key_arr = jax.random.key_data(key_arr)

@@ -29,12 +29,16 @@ class BipartiteMatching(NamedTuple):
     ``src_idx``: (B, r, 1) indices into the even half — merged away.
     ``dst_idx``: (B, r, 1) indices into the odd (destination) half that each
     merged token joins.
+    ``distill``: whether a distill token is protected at dst position 0 —
+    apply_merge then interleaves it to output position 1, matching the
+    reference's concat order (token_compression.py:103-105).
     """
 
     unm_idx: jax.Array
     src_idx: jax.Array
     dst_idx: jax.Array
     r: int
+    distill: bool = False
 
 
 def bipartite_soft_matching(metric: jax.Array, r: int,
@@ -102,7 +106,7 @@ def bipartite_soft_matching(metric: jax.Array, r: int,
         raise ValueError(f"unknown ordering {ordering!r}")
 
     dst_idx = jnp.take_along_axis(node_idx[..., None], src_idx, axis=-2)
-    return BipartiteMatching(unm_idx, src_idx, dst_idx, r)
+    return BipartiteMatching(unm_idx, src_idx, dst_idx, r, distill_token)
 
 
 def apply_merge(plan: Optional[BipartiteMatching], x: jax.Array,
@@ -130,6 +134,12 @@ def apply_merge(plan: Optional[BipartiteMatching], x: jax.Array,
     elif mode != "keep":
         raise ValueError(f"unknown merge mode {mode!r}")
 
+    if plan.distill:
+        # the protected distill token (dst position 0) interleaves to
+        # output position 1, after the class token — reference concat
+        # order (token_compression.py:103-105)
+        return jnp.concatenate(
+            [unm[:, :1], dst[:, :1], unm[:, 1:], dst[:, 1:]], axis=1)
     return jnp.concatenate([unm, dst], axis=1)
 
 

@@ -126,7 +126,14 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
         # every step's (B, H, s_local, s_local) score/probability tensors —
         # O(B*H*s_local*S) f32 residuals, an OOM in exactly the
         # too-long-for-one-chip regime this module exists for.  Recompute
-        # keeps backward memory at one tile.
+        # keeps backward memory at one tile.  KNOWN LIMIT of this einsum
+        # path: the scan still saves each step's post-ppermute k/v blocks
+        # as residuals (2*B*S*H*D per device — the full K/V, though not
+        # the O(S^2) scores).  At shard lengths where that matters the
+        # auto policy has already switched to the flash path, whose
+        # custom VJP re-rotates K/V in a second ring instead of saving
+        # them; einsum serves the small-shard regime where XLA's batched
+        # matmuls win and memory is not the constraint.
         @jax.checkpoint
         def merge_block(carry, k_blk, v_blk, src):
             m, l, acc = carry
@@ -300,10 +307,15 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
                     axis=-1), 1, 2)
 
         def block(src, k_blk, v_blk):
+            # per-step partials in f32 (same contract as the forward's
+            # out_dtype): letting the kernel quantize each dq/dk/dv partial
+            # to the input dtype before the ring accumulation would grow
+            # ~sqrt(p) rounding error with ring size
             return flash_bwd(
                 q, k_blk, v_blk, do, lse, delta, tile_of(mask_rows, src),
                 khi[idx, src], qlo[idx, src], block_q=block_q,
-                block_k=block_k, interpret=interpret)
+                block_k=block_k, interpret=interpret,
+                out_dtype=jnp.float32)
 
         dq0, dk0, dv0 = block(idx, k, v)
 
@@ -313,20 +325,16 @@ def _ring_flash(q, k, v, mask: np.ndarray, mesh: Mesh, axis: str,
                 (k_blk, v_blk, dk_acc, dv_acc), axis, perm)
             src = jax.lax.rem(idx - r + p, p)
             dq_j, dk_j, dv_j = block(src, k_blk, v_blk)
-            return (dq_acc + dq_j.astype(jnp.float32), k_blk, v_blk,
-                    dk_acc + dk_j.astype(jnp.float32),
-                    dv_acc + dv_j.astype(jnp.float32)), None
+            return (dq_acc + dq_j, k_blk, v_blk,
+                    dk_acc + dk_j, dv_acc + dv_j), None
 
         if p > 1:
             (dq_f, _, _, dk_t, dv_t), _ = jax.lax.scan(
-                ring_step,
-                (dq0.astype(jnp.float32), k, v, dk0.astype(jnp.float32),
-                 dv0.astype(jnp.float32)), jnp.arange(1, p))
+                ring_step, (dq0, k, v, dk0, dv0), jnp.arange(1, p))
             # traveling accumulators sit one hop short of home: final shift
             dk_f, dv_f = jax.lax.ppermute((dk_t, dv_t), axis, perm)
         else:
-            dq_f, dk_f, dv_f = (x.astype(jnp.float32)
-                                for x in (dq0, dk0, dv0))
+            dq_f, dk_f, dv_f = dq0, dk0, dv0
         return (dq_f.astype(q.dtype), dk_f.astype(k.dtype),
                 dv_f.astype(v.dtype))
 

@@ -59,6 +59,29 @@ def test_merge_wavg_matches_reference(b, t, c, r):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("class_token,distill_token",
+                         [(True, False), (False, True), (True, True)])
+def test_merge_protected_tokens_match_reference(class_token, distill_token):
+    """class/distill-token protection AND the distill interleaved output
+    order (reference concat [unm[:1], dst[:1], unm[1:], dst[1:]],
+    token_compression.py:103-105) must match the reference exactly."""
+    ref = load_ref_token_compression()
+    b, t, c, r = 2, 12, 8, 3
+    key = jax.random.PRNGKey(11)
+    metric = jax.random.normal(key, (b, t, c))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, c))
+
+    ref_merge = ref.bipartite_soft_matching(
+        metric, r, class_token=class_token, distill_token=distill_token)
+    ref_out = ref_merge(x, mode="sum")
+
+    plan = bipartite_soft_matching(metric, r, class_token=class_token,
+                                   distill_token=distill_token)
+    ours = apply_merge(plan, x, mode="sum")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_merge_size_conservation():
     """Total token 'mass' is conserved by weighted merging."""
     key = jax.random.PRNGKey(0)
