@@ -53,14 +53,16 @@ class FourierFeatures(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t):  # (..., 1) float time values
+    def __call__(self, t, deterministic: bool = True):
+        # (..., 1) float time values -> (..., output_dim)
         w = self.param("fourier_kernel", nn.initializers.he_normal(),
                        (self.output_dim // 2, t.shape[-1]), self.param_dtype)
         x = 2 * jnp.pi * t.astype(self.dtype) @ w.T.astype(self.dtype)
         x = jnp.concatenate([jnp.cos(x), jnp.sin(x)], axis=-1)
         x = MLPBlock(mlp_dim=self.mlp_dim, out_dim=self.output_dim,
                      dropout_rate=self.dropout_rate, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="mlp")(x)
+                     param_dtype=self.param_dtype, name="mlp")(
+                         x, deterministic=deterministic)
         return x
 
 
@@ -98,8 +100,11 @@ class OctoDenoise(nn.Module):
             for i in range(c.num_blocks - 1)
         ]
 
-    def encode_time(self, timestep):  # (..., 1) -> (..., time_dim)
-        return self.time_encoder(timestep)
+    def encode_time(self, timestep, deterministic: bool = True):
+        # (..., 1) -> (..., time_dim); deterministic follows train mode so
+        # the FourierFeatures MLP's declared dropout is not silently inert
+        # (the hoisted sampler calls keep the default: sampling never drops)
+        return self.time_encoder(timestep, deterministic=deterministic)
 
     def static_context(self, time_emb, readout_emb):
         """The per-step-constant part of the first layer."""
@@ -119,7 +124,7 @@ class OctoDenoise(nn.Module):
 
     def __call__(self, noisy_action, timestep, readout_embedding,
                  deterministic: bool = True):
-        ctx = self.static_context(self.encode_time(timestep),
+        ctx = self.static_context(self.encode_time(timestep, deterministic),
                                   readout_embedding)
         return self.denoise_from_context(noisy_action, ctx, deterministic)
 
@@ -139,6 +144,17 @@ class DiffusionActionHead(nn.Module):
         self._betas = jnp.asarray(betas, dtype=jnp.float32)
         self._alphas = jnp.asarray(alphas, dtype=jnp.float32)
         self._alpha_hats = jnp.asarray(np.cumprod(alphas), dtype=jnp.float32)
+
+    def noise_coefficient(self, times):
+        """Reverse-step noise coefficient c3 = sqrt(beta_t), with z = 0 at
+        the final (t=0) step per DDPM algorithm 2 — no irreducible noise on
+        the served action.  ``sampler_rng_mode='reference'`` keeps the
+        reference's add-noise-at-t=0 behavior (diffusion.py:184-188) for
+        bit-fidelity."""
+        c3 = jnp.sqrt(self._betas[times])
+        if self.cfg.sampler_rng_mode != "reference":
+            c3 = jnp.where(times > 0, c3, jnp.zeros_like(c3))
+        return c3
 
     def predict_denoise_term(self, readouts, time, noisy_actions,
                              train: bool = True):
@@ -236,7 +252,7 @@ class DiffusionActionHead(nn.Module):
                 1.0 / jnp.sqrt(self._alphas[times]),
                 (1.0 - self._alphas[times])
                 / jnp.sqrt(1.0 - self._alpha_hats[times]),
-                jnp.sqrt(self._betas[times]),
+                self.noise_coefficient(times),
             ], axis=-1)                                        # (T, 3)
             p = denoiser_vars["params"]
             return fused_ddpm_sample(
@@ -267,7 +283,7 @@ class DiffusionActionHead(nn.Module):
             c1 = 1.0 / jnp.sqrt(self._alphas[time])
             c2 = (1.0 - self._alphas[time]) / jnp.sqrt(
                 1.0 - self._alpha_hats[time])
-            c3 = jnp.sqrt(self._betas[time])
+            c3 = self.noise_coefficient(time)
             sample = c1 * (sample - c2 * denoise_term) + c3 * noise
             sample = jnp.clip(sample, -cfg.clip_value, cfg.clip_value)
             return (sample, next_key), ()

@@ -94,7 +94,11 @@ class CompressedEncoderBlock(nn.Module):
         head_dim = a.qkv_features // a.num_heads
         mask = jnp.asarray(self.layout.attention_mask(self.layer))
 
+        # same LN reduction policy as EncoderBlock (attention.py) so
+        # compressed and uncompressed stacks honor the same config
+        ln_axes = (1,) if c.layer_norm_reduction == "sequence_compat" else -1
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_epsilon,
+                                       reduction_axes=ln_axes,
                                        dtype=self.dtype,
                                        param_dtype=self.param_dtype,
                                        name=name)
@@ -122,13 +126,18 @@ class CompressedEncoderBlock(nn.Module):
             logits = jnp.where(mask[None, None], logits,
                                jnp.finfo(jnp.float32).min)
             weights = jax.nn.softmax(logits, axis=-1)
+            # the pruning importance reads the PRE-dropout weights: token
+            # selection should follow attention content, not which entries
+            # this step's dropout mask happened to zero (post-dropout
+            # importance also skews train-time selection vs eval)
+            clean_weights = weights
             if a.dropout_rate > 0.0 and not deterministic:
                 weights = nn.Dropout(a.dropout_rate)(
                     weights, deterministic=deterministic)
             attn_out = jnp.einsum("bhqk,bkhd->bqhd",
                                   weights.astype(self.dtype), v)
         else:
-            weights = None
+            clean_weights = None
             attn_out = jax.nn.dot_product_attention(
                 q, k, v, mask=mask[None, None])
 
@@ -145,13 +154,29 @@ class CompressedEncoderBlock(nn.Module):
             metric = jnp.mean(k, axis=-2)  # key mean over heads (B, S, D)
             x, size = _merge_sets(x, size, metric, self.layout, self.layer)
         elif c.compression_mode == "prune":
-            importance = jnp.mean(weights, axis=(1, 2))  # (B, K)
+            importance = jnp.mean(clean_weights, axis=(1, 2))  # (B, K)
             x, size = _prune_sets(x, size, importance, self.layout, self.layer)
         else:
             raise ValueError(
                 f"unknown compression mode {c.compression_mode!r}")
 
         y = ln("ln_mlp")(x)
+        if c.mlp_type == "moe":
+            from .moe import MoEMLPBlock
+            y, aux = MoEMLPBlock(c.moe, mlp_dim=c.mlp_dim,
+                                 out_dim=x.shape[-1],
+                                 activation=c.mlp_activation,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="moe")(y, deterministic=deterministic)
+            y = nn.Dropout(c.dropout_rate)(y, deterministic=deterministic)
+            # pre-weighted ready-to-add objective term, same contract as
+            # TransformerStack (train/steps.py sums the 'losses' collection)
+            self.sow("losses", "moe_aux",
+                     aux * jnp.float32(c.moe.aux_loss_weight),
+                     reduce_fn=lambda s, b: s + b,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            return x + y, size
         y = MLPBlock(mlp_dim=c.mlp_dim, out_dim=x.shape[-1],
                      dropout_rate=c.dropout_rate, activation=c.mlp_activation,
                      dtype=self.dtype, param_dtype=self.param_dtype,
@@ -169,9 +194,10 @@ class CompressedTransformerStack(nn.Module):
     so each group of k blocks runs as ONE nn.scan (L/k compilation units —
     the remote-compile cost of deep stacks drops k-fold) with a standalone
     per-set ToMe merge (hidden-state cosine metric) between groups.  The
-    compression string's per-layer rate is applied per EVENT, so a 12-block
-    stack with ``Image{1}`` and k=4 sheds 1 image token per set at each of
-    the 3 event boundaries.
+    compression string's per-layer rate is applied per EVENT BOUNDARY
+    (between consecutive stages), so a 12-block stack with ``Image{1}``
+    and k=4 runs 3 stages and sheds 1 image token per set at each of the
+    2 boundaries between them.
     """
 
     cfg: TransformerConfig
@@ -181,12 +207,35 @@ class CompressedTransformerStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.cfg.compression_mode == "merge":
+            from ..sequence.layout import KIND_TEXT
+            causal = [f"{s.kind}{{{s.num_tokens}}}" for s in self.layout.sets
+                      if s.compressed_per_layer > 0 and s.kind == KIND_TEXT]
+            if causal:
+                raise ValueError(
+                    f"ToMe merge reorders tokens within a set, which breaks "
+                    f"causal intra-attention: {causal} are causal sets with "
+                    f"a nonzero compression rate.  Use compression_mode="
+                    f"'prune' (order-preserving per-set top-k) for causal "
+                    f"sets, or zero their rate in the compression string.")
+
         x = AddPositionEmbedding(name="posembed_input")(x)
         size = jnp.ones_like(x[..., :1])
         k = self.cfg.tome_merge_every
         if k <= 1:
+            if self.cfg.attention_impl == "flash":
+                raise ValueError(
+                    "attention_impl='flash' is incompatible with per-layer "
+                    "compressed blocks (they materialize attention weights "
+                    "for the importance/metric signals); use the staged "
+                    "path (tome_merge_every > 1) for flash attention, or "
+                    "attention_impl='auto'")
+            block_cls = CompressedEncoderBlock
+            if self.cfg.remat:
+                block_cls = nn.remat(CompressedEncoderBlock,
+                                     static_argnums=(3,))
             for layer in range(self.cfg.num_blocks):
-                x, size = CompressedEncoderBlock(
+                x, size = block_cls(
                     self.cfg, self.layout, layer, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"block_{layer}")(
                         x, size, deterministic)
@@ -195,6 +244,12 @@ class CompressedTransformerStack(nn.Module):
         if self.cfg.compression_mode not in ("merge", "prune"):
             raise ValueError(
                 f"unknown compression mode {self.cfg.compression_mode!r}")
+        if self.cfg.proportional_attention:
+            raise ValueError(
+                "proportional_attention requires per-layer compressed "
+                "blocks (tome_merge_every=1): the staged path's scanned "
+                "EncoderBlocks do not thread token sizes into the "
+                "attention logits, so the option would be silently inert")
         from .attention import EncoderBlock, select_attention_fn
 
         num_stages = -(-self.cfg.num_blocks // k)
@@ -215,7 +270,13 @@ class CompressedTransformerStack(nn.Module):
                 length=blocks_here,
             )(self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
               attention_fn=attention_fn, name=f"stage_{stage}")
-            x, _ = stack(x, jnp.asarray(mask_np), deterministic)
+            x, aux = stack(x, jnp.asarray(mask_np), deterministic)
+            if aux is not None:  # per-layer MoE balance losses of the stage
+                self.sow("losses", "moe_aux",
+                         jnp.sum(aux) * jnp.float32(
+                             self.cfg.moe.aux_loss_weight),
+                         reduce_fn=lambda s, b: s + b,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
             layer += blocks_here
             if stage < num_stages - 1:
                 if self.cfg.compression_mode == "merge":

@@ -154,6 +154,12 @@ def parse_sequence(
                 "compression string must have the same block structure as the "
                 f"sequence string ({len(comp_blocks)} vs {len(blocks)} blocks)"
             )
+        if tuple(comp_repeats) != tuple(repeats):
+            raise ValueError(
+                f"compression string repeat counts {list(comp_repeats)} do "
+                f"not match the sequence string's {list(repeats)} — a "
+                f"mismatched *K would silently apply the wrong per-timestep "
+                f"compression schedule")
 
     specs = []
     timestep = 0

@@ -109,3 +109,42 @@ def test_denoise_loss_finite_and_positive():
                       rngs={"diffusion": jax.random.PRNGKey(3),
                             "dropout": jax.random.PRNGKey(4)})
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_final_step_noise_gated_per_algorithm_2():
+    """DDPM algorithm 2 sets z = 0 at the final (t=0) reverse step: the
+    default sampler modes emit no irreducible noise on the served action.
+    'reference' mode keeps the reference's t=0 noise for bit-fidelity."""
+    head = DiffusionActionHead(_cfg())
+    times = jnp.arange(4)
+    c3 = head.apply({"params": {}}, times, method="noise_coefficient")
+    betas = cosine_beta_schedule(4)
+    assert float(c3[0]) == 0.0
+    np.testing.assert_allclose(np.asarray(c3[1:]), np.sqrt(betas[1:]),
+                               rtol=1e-6)
+
+    ref_head = DiffusionActionHead(_cfg(sampler_rng_mode="reference"))
+    c3_ref = ref_head.apply({"params": {}}, times,
+                            method="noise_coefficient")
+    np.testing.assert_allclose(np.asarray(c3_ref), np.sqrt(betas), rtol=1e-6)
+
+
+def test_fourier_dropout_follows_train_mode():
+    """The FourierFeatures MLP's declared dropout must follow train mode
+    (previously it was unconditionally deterministic — dead config)."""
+    den = OctoDenoise(_cfg(dropout_rate=0.5))
+    noisy = jnp.ones((8, 4))
+    t = jnp.ones((8, 1))
+    readout = jnp.ones((8, 16))
+    v = den.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, noisy, t, readout)
+    eval_out = den.apply(v, noisy, t, readout, True)
+    train1 = den.apply(v, noisy, t, readout, False,
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+    train2 = den.apply(v, noisy, t, readout, False,
+                       rngs={"dropout": jax.random.PRNGKey(3)})
+    # eval is deterministic; train draws differ across dropout keys
+    np.testing.assert_array_equal(
+        np.asarray(eval_out),
+        np.asarray(den.apply(v, noisy, t, readout, True)))
+    assert np.abs(np.asarray(train1) - np.asarray(train2)).max() > 0

@@ -101,3 +101,66 @@ def test_grouped_model_end_to_end():
 
     g = jax.grad(loss)(v["params"])
     assert sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)) > 0
+
+
+def test_merge_of_causal_text_set_rejected():
+    """ToMe merge reorders tokens within a set; a causal (Text) set with a
+    nonzero compression rate must be rejected loudly, not silently break
+    the tril mask at the next layer."""
+    layout = SequenceLayout.from_strings(
+        "[Text{8}] [Image{16};Readout{2}]",
+        "[Text{2}] [Image{4};Readout{0}]")
+    m = CompressedTransformerStack(_stack_cfg(4, 2), layout=layout)
+    x = jnp.zeros((1, 26, 16))
+    with pytest.raises(ValueError, match="causal"):
+        m.init(jax.random.PRNGKey(0), x)
+    # prune mode is order-preserving and accepts the same layout
+    mp = CompressedTransformerStack(
+        _stack_cfg(4, 2).replace(compression_mode="prune"), layout=layout)
+    mp.init(jax.random.PRNGKey(0), x)
+
+
+def test_proportional_attention_rejected_in_staged_path():
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{4};Readout{0}]")
+    m = CompressedTransformerStack(
+        _stack_cfg(4, 2).replace(proportional_attention=True), layout=layout)
+    x = jnp.zeros((1, 22, 16))
+    with pytest.raises(ValueError, match="proportional_attention"):
+        m.init(jax.random.PRNGKey(0), x)
+
+
+def test_flash_rejected_in_per_layer_path():
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{1};Readout{0}]")
+    m = CompressedTransformerStack(
+        _stack_cfg(2, 1).replace(attention_impl="flash"), layout=layout)
+    x = jnp.zeros((1, 22, 16))
+    with pytest.raises(ValueError, match="flash"):
+        m.init(jax.random.PRNGKey(0), x)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_compressed_stack_moe_sows_weighted_aux(k):
+    """Both compressed paths (per-layer blocks and staged scan) support
+    mlp_type='moe' and sow the pre-weighted balance loss into 'losses' —
+    the same contract the train step consumes (train/steps.py)."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import MoEConfig
+    from multi_modal_transformers_tokenmerge_tpu.modules.moe import (
+        moe_aux_loss)
+
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{4};Readout{0}]")
+    cfg = _stack_cfg(4 if k == 2 else 2, k).replace(
+        mlp_type="moe",
+        moe=MoEConfig(num_experts=2, top_k=1, capacity_factor=2.0,
+                      aux_loss_weight=0.05))
+    m = CompressedTransformerStack(cfg, layout=layout)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 22, 16))
+    v = m.init(jax.random.PRNGKey(1), x)
+    out, mut = m.apply(v, x, mutable=["losses"])
+    assert out.shape[0] == 2
+    assert float(moe_aux_loss(mut)) > 0

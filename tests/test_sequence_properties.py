@@ -99,3 +99,20 @@ def test_layered_counts_monotone(seq, layer):
         return  # a set exhausted — rejection is the correct behaviour
     assert m.shape[0] == layout.tokens_at_layer(layer)
     assert layout.tokens_at_layer(layer) <= layout.total_tokens
+
+
+def test_compression_repeat_mismatch_rejected():
+    """A compression string whose *K differs from the sequence string's is
+    a structural mismatch and must raise, not silently reinterpret the
+    schedule over the sequence's timesteps."""
+    import pytest
+
+    from multi_modal_transformers_tokenmerge_tpu.sequence.dsl import (
+        parse_sequence)
+
+    with pytest.raises(ValueError, match="repeat"):
+        parse_sequence("[Image{25};Readout{4}]*4",
+                       compression="[Image{2};Readout{0}]*2")
+    # matching repeats parse fine
+    parse_sequence("[Image{25};Readout{4}]*4",
+                   compression="[Image{2};Readout{0}]*4")
