@@ -159,33 +159,31 @@ def _resolve_interpolations(tree: Dict[str, Any], max_depth: int = 8):
             node = node[part]
         return node
 
-    def walk(node, depth):
-        if depth > max_depth:
-            raise ValueError("interpolation depth exceeded (cycle?)")
-        if isinstance(node, dict):
-            for key, val in node.items():
-                if isinstance(val, str):
-                    m = _INTERP_RE.match(val.strip())
-                    if m:
-                        resolved = lookup(m.group(1))
-                        if (isinstance(resolved, str)
-                                and _INTERP_RE.match(resolved.strip())):
-                            walk({key: resolved}, depth + 1)
-                            resolved = lookup(
-                                _INTERP_RE.match(resolved.strip()).group(1))
-                        node[key] = resolved
-                elif isinstance(val, (dict, list)):
-                    walk(val, depth)
-        elif isinstance(node, list):
-            for i, val in enumerate(node):
-                if isinstance(val, str):
-                    m = _INTERP_RE.match(val.strip())
-                    if m:
-                        node[i] = lookup(m.group(1))
-                elif isinstance(val, (dict, list)):
-                    walk(val, depth)
+    def resolve(val):
+        # follow ${a} -> ${b} -> ... chains of any length, bounded so a
+        # reference cycle (a: ${b}, b: ${a}) raises instead of spinning
+        depth = 0
+        while isinstance(val, str):
+            m = _INTERP_RE.match(val.strip())
+            if m is None:
+                break
+            if depth >= max_depth:
+                raise ValueError(
+                    f"interpolation depth exceeded resolving "
+                    f"${{{m.group(1)}}} (cycle?)")
+            val = lookup(m.group(1))
+            depth += 1
+        return val
 
-    walk(tree, 0)
+    def walk(node):
+        items = node.items() if isinstance(node, dict) else enumerate(node)
+        for key, val in items:
+            if isinstance(val, str):
+                node[key] = resolve(val)
+            elif isinstance(val, (dict, list)):
+                walk(val)
+
+    walk(tree)
 
 
 def load_config(name: str,

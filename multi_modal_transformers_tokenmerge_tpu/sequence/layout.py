@@ -18,7 +18,22 @@ Mask semantics (OCTO block-causal; reference token_sequencer.py:55-183):
 
 "Intra" applies when the key set shares the query set's timestep and the key
 kind is a behavioural instance of the query kind (TaskDescriptionPrefix is a
-Text).  This mirrors the reference's ``isinstance`` checks exactly.
+Text).  This mirrors the reference's ``isinstance`` checks exactly
+(reference attention_rule: ``(tokenset.timestep == self.timestep) and
+isinstance(tokenset, self.__class__)`` — token_sequencer.py:84-90,:143-145,
+:178-180), which keys on **(kind, timestep), not set identity**.  Two
+consequences, both reference-faithful and pinned by tests:
+
+* two DISTINCT same-kind sets at the same timestep treat each other as
+  intra — e.g. ``[Image{2};Readout{2};Readout{2}]`` gives the two readout
+  sets full attention over each other (the reference's "never attend to
+  other readout sets" rule only applies across timesteps / via the inter
+  rule);
+* a Text query meeting a TaskDescriptionPrefix key at the same timestep
+  resolves to the causal *intra* rule.  The reference emits a
+  wrongly-shaped ``(q, q)`` block there (its intra rule ignores the key
+  set's size) and silently builds a misaligned mask; we raise instead —
+  see ``_intra_block``.
 """
 
 from __future__ import annotations
@@ -49,7 +64,16 @@ def _intra_block(kind: str, q_tokens: int, k_tokens: int) -> np.ndarray:
     if kind in (KIND_TEXT,):
         # causal lower-triangular (reference uses nn.make_causal_mask)
         if q_tokens != k_tokens:
-            raise ValueError("causal intra-attention requires equal set sizes")
+            # the reference hits this with e.g. a same-timestep
+            # Text{q}/TaskDescriptionPrefix{k} pair and silently emits a
+            # (q, q) block into a (q, k) slot (token_sequencer.py:84-90);
+            # fail loudly instead of building a misaligned mask
+            raise ValueError(
+                f"causal intra-attention requires equal set sizes, got "
+                f"query {q_tokens} vs key {k_tokens}; distinct text-like "
+                f"sets sharing a timestep resolve to the intra rule "
+                f"(reference isinstance semantics) — give them different "
+                f"timesteps or equal sizes")
         return np.tril(np.ones((q_tokens, k_tokens), dtype=bool))
     # TaskDescriptionPrefix, Image, Readout: full intra attention
     return np.ones((q_tokens, k_tokens), dtype=bool)

@@ -113,9 +113,30 @@ class PolicyEngine:
         """Encode and cache the instruction's text-tower embeddings; later
         calls skip the text tower entirely.  Accepts pre-tokenized ids, a
         raw string, or a list of strings (string input needs ``tokenizer``).
+
+        Pre-tokenized ids are normalized the same way strings are: (T,) or
+        (1, T) ids broadcast to the engine batch; (B, T) must match
+        ``batch_size`` — the cached-predict executable is compiled for
+        (batch_size, T, E) embeddings, so anything else would poison the
+        cache and fail far from here.
         """
+        import numpy as np
+        ids = np.asarray(self._tokenize(text))
+        if ids.ndim == 1:
+            ids = ids[None]
+        if ids.ndim != 2:
+            raise ValueError(
+                f"instruction ids must be (T,), (1, T) or (batch, T); got "
+                f"shape {ids.shape}")
+        if ids.shape[0] == 1 and self.batch_size > 1:
+            ids = np.broadcast_to(ids, (self.batch_size, ids.shape[1]))
+        if ids.shape[0] != self.batch_size:
+            raise ValueError(
+                f"got {ids.shape[0]} instruction rows for batch_size "
+                f"{self.batch_size}; pass one row (broadcast) or exactly "
+                f"batch_size rows")
         self._text_embeddings = self._encode_text_fn()(
-            self.variables, self._place(jnp.asarray(self._tokenize(text))))
+            self.variables, self._place(jnp.asarray(ids)))
         return self
 
     def encode_instruction(self, text):
@@ -288,9 +309,9 @@ class PolicyEngine:
             .lower(var_shapes, text, images, key).compile())
         # warmup buffers are locals: keeping them on self would pin
         # batch-sized device arrays for the engine's lifetime
-        zero_images = self._place(
-            jnp.zeros((self.batch_size, *image_shape), jnp.float32))
         if warmup:
+            zero_images = self._place(
+                jnp.zeros((self.batch_size, *image_shape), jnp.float32))
             zero_text = self._place(
                 jnp.zeros((self.batch_size, *text_shape), jnp.int32))
             self._warm(self._compiled,

@@ -26,21 +26,23 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
     it, arrays go to the default device.  Transfer of batch N+size overlaps
     the consumer's work on batch N (device transfers are async).
     """
-    queue = collections.deque()
-
-    def put(batch):
+    def place(batch):
         if sharding is not None:
-            batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-        else:
-            batch = jax.tree.map(jax.device_put, batch)
-        queue.append(batch)
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
 
     it = iter(iterator)
+    if size <= 0:
+        # no lookahead: transfer each batch on demand (still placed/sharded)
+        for batch in it:
+            yield place(batch)
+        return
+    queue = collections.deque()
     for batch in itertools.islice(it, size):
-        put(batch)
+        queue.append(place(batch))
     while queue:
         if (nxt := next(it, None)) is not None:
-            put(nxt)
+            queue.append(place(nxt))
         yield queue.popleft()
 
 

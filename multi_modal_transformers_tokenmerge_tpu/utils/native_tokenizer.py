@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Iterable, Sequence
 
@@ -25,19 +24,8 @@ _lib = None
 
 
 def native_toolchain_available() -> bool:
-    from shutil import which
-    return which("g++") is not None or which("c++") is not None
-
-
-def _build() -> str:
-    from shutil import which
-    cxx = which("g++") or which("c++")
-    if cxx is None:
-        raise RuntimeError("no C++ compiler available")
-    subprocess.run(
-        [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-        check=True, capture_output=True)
-    return _SO
+    from .native_build import toolchain_available
+    return toolchain_available()
 
 
 def _load():
@@ -45,10 +33,8 @@ def _load():
     with _build_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        from .native_build import build_native_lib
+        lib = build_native_lib(_SRC, _SO)
         lib.tok_create.restype = ctypes.c_void_p
         lib.tok_create.argtypes = [ctypes.c_char_p]
         lib.tok_vocab_size.restype = ctypes.c_int

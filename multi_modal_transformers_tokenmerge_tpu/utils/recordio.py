@@ -91,8 +91,8 @@ def write_records(path: str, examples: Iterable[Dict[str, np.ndarray]],
 
 
 def _native_available() -> bool:
-    from shutil import which
-    return which("g++") is not None or which("c++") is not None
+    from .native_build import toolchain_available
+    return toolchain_available()
 
 
 def _load_lib():
@@ -100,18 +100,8 @@ def _load_lib():
     with _build_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
-            from shutil import which
-            cxx = which("g++") or which("c++")
-            if cxx is None:
-                raise RuntimeError("no C++ compiler available")
-            import subprocess
-            subprocess.run(
-                [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC, "-o", _SO],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO)
+        from .native_build import build_native_lib
+        lib = build_native_lib(_SRC, _SO, extra_flags=("-pthread",))
         lib.rio_open.restype = ctypes.c_void_p
         lib.rio_open.argtypes = [ctypes.c_char_p]
         lib.rio_num_records.restype = ctypes.c_uint64
@@ -197,6 +187,7 @@ class RecordReader:
         self._epoch = 0
         self._pos = 0
         self._perm = None
+        self._mm = None  # lazy memmap for the numpy backend
 
     @property
     def batches_per_epoch(self) -> int:
@@ -235,12 +226,17 @@ class RecordReader:
             self._pos = 0
         idx = self._perm[self._pos:self._pos + self.batch_size]
         self._pos += self.batch_size
-        buf = np.empty(self.batch_size * self.record_size, dtype=np.uint8)
-        with open(self.path, "rb") as f:
-            for i, rec in enumerate(idx):
-                f.seek(self._data_off + int(rec) * self.record_size)
-                buf[i * self.record_size:(i + 1) * self.record_size] = (
-                    np.frombuffer(f.read(self.record_size), dtype=np.uint8))
+        if self._mm is None:
+            # one memmap for the reader's lifetime (the per-batch
+            # open/seek/read pattern costs thousands of syscalls per
+            # second on the training hot path; episodes.py uses the
+            # same memmap approach)
+            self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
+        rs = self.record_size
+        buf = np.empty(self.batch_size * rs, dtype=np.uint8)
+        for i, rec in enumerate(idx):
+            off = self._data_off + int(rec) * rs
+            buf[i * rs:(i + 1) * rs] = self._mm[off:off + rs]
         return buf
 
     def __iter__(self):
@@ -267,6 +263,7 @@ class RecordReader:
         if self._handle is not None:
             self._lib.rio_close(self._handle)
             self._handle = None
+        self._mm = None  # drop the memmap (and its file descriptor)
 
     def __del__(self):
         try:

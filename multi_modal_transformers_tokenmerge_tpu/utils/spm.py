@@ -222,7 +222,15 @@ class T5StyleTokenizer:
         self.model = model
         self.max_length = max_length
         self.pad_id = 0
-        self.eos_id = model.piece_to_id("</s>")
+        # piece_to_id falls back to unk for missing pieces — an EOS that
+        # silently became unk (or piece 0) would corrupt every encoded
+        # instruction with no error, so require the piece explicitly
+        if "</s>" not in model.vocab:
+            raise ValueError(
+                "sentencepiece model has no '</s>' piece; a T5-style "
+                "tokenizer needs the EOS control piece (t5 layout: "
+                "<pad>=0, </s>=1, <unk>=2)")
+        self.eos_id = model.vocab["</s>"]
         self.vocab_size = len(model.pieces)
 
     def encode(self, text: str) -> List[int]:

@@ -87,6 +87,23 @@ def test_interpolation(tmp_path):
     assert cfg.dtype == "bfloat16"
 
 
+def test_interpolation_chain_and_cycle():
+    """Chains of ${a}->${b}->${c} resolve fully regardless of length; a
+    reference cycle raises instead of leaving a literal '${...}' string
+    in a str-typed field (review finding)."""
+    from multi_modal_transformers_tokenmerge_tpu.core.yaml_loader import (
+        _resolve_interpolations)
+
+    tree = {"x": "${y}", "y": "${z}", "z": "${w}", "w": 7,
+            "lst": ["${x}", {"k": "${y}"}]}
+    _resolve_interpolations(tree)
+    assert tree["x"] == tree["y"] == tree["z"] == 7
+    assert tree["lst"][0] == 7 and tree["lst"][1]["k"] == 7
+
+    with pytest.raises(ValueError, match="cycle"):
+        _resolve_interpolations({"a": "${b}", "b": "${a}"})
+
+
 def test_interpolation_missing_key(tmp_path):
     import os
     for sub in ("heads",):

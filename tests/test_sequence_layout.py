@@ -22,6 +22,9 @@ SEQ_CASES = [
     "[Text{5}] [Image{4};Readout{2}]*3",
     "[TaskDescriptionPrefix{8}] [Image{6};Image{6};Readout{3}]*2",
     "[Image{9};Readout{1}]",
+    # two distinct same-timestep Readout sets: intra keys on (kind,
+    # timestep), not set identity — reference isinstance semantics
+    "[Image{2};Readout{2};Readout{2}]",
 ]
 
 
@@ -56,6 +59,27 @@ def test_mask_matches_reference(seq_str):
 
     assert ours.shape == ref_mask.shape
     np.testing.assert_array_equal(ours, ref_mask.astype(bool))
+
+
+def test_same_timestep_readout_sets_are_intra():
+    """Documented reference quirk (layout.py module docstring): two
+    distinct Readout sets sharing a timestep resolve to the INTRA rule —
+    full mutual attention — because the reference keys on
+    ``isinstance(tokenset, self.__class__) and same timestep``, not set
+    identity (token_sequencer.py:178-180).  Golden-pinned above; this
+    asserts the quirk explicitly so a 'fix' can't silently change it."""
+    mask = SequenceLayout.from_strings(
+        "[Image{2};Readout{2};Readout{2}]").attention_mask()
+    assert mask[2:4, 4:6].all() and mask[4:6, 2:4].all()
+
+
+def test_unequal_same_timestep_text_sets_fail_loudly():
+    """Text-like sets of different sizes at one timestep hit the causal
+    intra rule; the reference silently emits a misaligned mask block
+    there (its intra rule ignores the key set size) — we raise."""
+    with pytest.raises(ValueError, match="equal set sizes"):
+        SequenceLayout.from_strings(
+            "[TaskDescriptionPrefix{4};Text{2}]").attention_mask()
 
 
 @pytest.mark.parametrize("seq_str", SEQ_CASES)

@@ -93,6 +93,17 @@ def test_t5_style_tokenizer_convention(model):
     assert len(row2) == 3 and row2[-1] == tok2.eos_id
 
 
+def test_t5_style_tokenizer_requires_eos_piece():
+    """A model without '</s>' must be rejected at construction —
+    piece_to_id's unk fallback would otherwise terminate every encoded
+    instruction with a wrong id, silently (review finding)."""
+    no_eos = SentencePieceUnigramModel.from_bytes(build_model_proto(
+        [("<pad>", 0.0, CONTROL), ("<unk>", 0.0, UNKNOWN),
+         ("▁pick", -2.0, NORMAL)]))
+    with pytest.raises(ValueError, match="</s>"):
+        T5StyleTokenizer(no_eos, max_length=8)
+
+
 def test_policy_engine_accepts_string_instructions(tmp_path):
     """End-to-end: raw string -> local spm model -> cached instruction ->
     action, through the serving engine."""

@@ -185,6 +185,32 @@ def test_policy_engine_cached_text_matches(setup):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_policy_engine_set_instruction_id_shapes(setup):
+    """Pre-tokenized (T,) and (1, T) ids broadcast to the batch exactly
+    like a single string does; a wrong row count fails loudly instead of
+    poisoning the cached-predict path (review finding)."""
+    cfg, model, variables, keys, text, images, actions = setup
+    ref_engine = PolicyEngine(model, variables, head="continuous",
+                              batch_size=4)
+    ref_engine.set_instruction(text)  # (4, T), all rows identical
+    ref = np.asarray(ref_engine(images))
+
+    row = np.asarray(text)[0]
+    for ids in (row, row[None]):
+        eng = PolicyEngine(model, variables, head="continuous",
+                           batch_size=4)
+        eng.set_instruction(ids)
+        assert eng._text_embeddings.shape[0] == 4
+        np.testing.assert_allclose(np.asarray(eng(images)), ref,
+                                   rtol=1e-6, atol=1e-6)
+
+    eng = PolicyEngine(model, variables, head="continuous", batch_size=4)
+    with pytest.raises(ValueError, match="instruction rows"):
+        eng.set_instruction(np.tile(row[None], (3, 1)))
+    with pytest.raises(ValueError, match="instruction ids"):
+        eng.set_instruction(np.zeros((1, 1, 4), np.int32))
+
+
 def test_policy_engine_requires_instruction(setup):
     cfg, model, variables, keys, text, images, actions = setup
     engine = PolicyEngine(model, variables, head="continuous", batch_size=4)

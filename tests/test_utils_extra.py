@@ -66,6 +66,17 @@ def test_prefetch_to_device_order_and_placement():
         assert float(x[0, 0]) == i
 
 
+def test_prefetch_to_device_zero_size():
+    """size=0 means no lookahead — batches must still flow (a review
+    finding: the queue-primed loop silently yielded nothing)."""
+    batches = [(np.full((4, 2), i, np.float32),) for i in range(3)]
+    out = list(prefetch_to_device(iter(batches), size=0))
+    assert len(out) == 3
+    for i, (x,) in enumerate(out):
+        assert isinstance(x, jax.Array)
+        assert float(x[0, 0]) == i
+
+
 def test_prefetch_with_sharding():
     mesh = make_mesh(data=8, model=1)
     bs = batch_sharding(mesh)
