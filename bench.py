@@ -247,6 +247,11 @@ def main():
             f"MFU {results[name].get('mfu', '?')}) "
             f"[total {time.time()-t0:.0f}s]")
 
+    # only the bf16 variant is consumed below — drop the f32/tome
+    # variants' device-resident parameter copies before the extras so the
+    # train-step compile doesn't run with hundreds of MB of dead HBM
+    models = {"ours_bf16": models["ours_bf16"]}
+
     detail = {"batch": BATCH, "device": kind, "variants": results}
 
     if not SKIP_EXTRAS:
@@ -912,6 +917,8 @@ def wait_for_backend(max_wait_s: float = None):
     import subprocess
 
     max_wait_s = float(os.environ.get("BENCH_WAIT_S", max_wait_s or 1800))
+    if max_wait_s <= 0:
+        return False  # waiting disabled — don't even probe once
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:

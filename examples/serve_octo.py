@@ -61,11 +61,15 @@ def main():
     rng = np.random.default_rng(0)
     with PolicyServer(engine, max_wait_ms=2.0) as server:
         results = [None] * args.requests
+        errors = []
 
         def call(i):
             obs = rng.uniform(0, 255, image_shape).astype(np.float32)
             t = time.perf_counter()
-            results[i] = (server.predict(obs), time.perf_counter() - t)
+            try:
+                results[i] = (server.predict(obs), time.perf_counter() - t)
+            except Exception as e:  # surface it, don't die in the thread
+                errors.append((i, e))
 
         t0 = time.time()
         threads = [threading.Thread(target=call, args=(i,))
@@ -74,6 +78,11 @@ def main():
         [t.join() for t in threads]
         wall = time.time() - t0
 
+    if errors:
+        i, e = errors[0]
+        raise RuntimeError(
+            f"{len(errors)}/{args.requests} requests failed "
+            f"(first: request {i})") from e
     lats = sorted(r[1] for r in results)
     print(f"{args.requests} requests in {wall * 1e3:.0f}ms "
           f"(p50 latency {lats[len(lats) // 2] * 1e3:.1f}ms); "

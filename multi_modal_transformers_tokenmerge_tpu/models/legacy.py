@@ -221,9 +221,24 @@ def attention_importance(model, variables, text, images, layer: int = 0):
                 and "attention_weights" in "/".join(map(str, p))]
 
     weights = find(inter["intermediates"], f"block_{layer}")
-    if not weights:
+    w = None
+    if weights:
+        w = weights[0][0] if isinstance(weights[0], tuple) else weights[0]
+    else:
+        # scanned stacks (modules.attention.TransformerStack) record ONE
+        # stacked entry of shape (num_blocks, B, H, Q, K) under 'blocks'
+        # instead of per-layer 'block_<i>' names
+        stacked = find(inter["intermediates"], "attention_weights")
+        if stacked:
+            s = stacked[0][0] if isinstance(stacked[0], tuple) else stacked[0]
+            if s.ndim == 5:
+                if not 0 <= layer < s.shape[0]:
+                    raise ValueError(
+                        f"layer {layer} out of range for a "
+                        f"{s.shape[0]}-block stack")
+                w = s[layer]
+    if w is None:
         raise ValueError(f"no attention weights recorded for layer {layer}")
-    w = weights[0][0] if isinstance(weights[0], tuple) else weights[0]
     # (B, H, Q, K) -> mean over heads and queries -> (B, K)
     importance = jnp.mean(w, axis=(1, 2))
     return importance / jnp.sum(importance, axis=-1, keepdims=True)

@@ -262,9 +262,15 @@ class CompressedTransformerStack(nn.Module):
             # between flash-attention blocks, per-stage shrinking layouts
             attention_fn = select_attention_fn(
                 self.cfg, mask_np, self.layout.tokens_at_layer(stage))
+            block_cls = EncoderBlock
+            if self.cfg.remat:
+                # honor cfg.remat here too — without this the staged path
+                # (the deep-stack regime remat exists for) silently stored
+                # every block's activations
+                block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
             stack = nn.scan(
-                EncoderBlock,
-                variable_axes={"params": 0},
+                block_cls,
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=blocks_here,

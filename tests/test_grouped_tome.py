@@ -56,6 +56,31 @@ def test_grouped_stack_stage_params_are_scanned():
     assert q.shape[0] == 2
 
 
+def test_grouped_stack_remat_matches_plain():
+    """cfg.remat was silently inert on the staged path (review finding);
+    now it must both run AND be numerically identical to the plain path."""
+    layout = SequenceLayout.from_strings(
+        "[Text{4}] [Image{16};Readout{2}]",
+        "[Text{0}] [Image{4};Readout{0}]")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 22, 16))
+
+    plain = CompressedTransformerStack(_stack_cfg(4, 2), layout=layout)
+    v = plain.init(jax.random.PRNGKey(1), x)
+    remat = CompressedTransformerStack(
+        _stack_cfg(4, 2).replace(remat=True), layout=layout)
+
+    np.testing.assert_allclose(np.asarray(plain.apply(v, x)),
+                               np.asarray(remat.apply(v, x)),
+                               rtol=1e-6, atol=1e-6)
+    g_plain = jax.grad(lambda p: plain.apply({"params": p}, x).sum())(
+        v["params"])
+    g_remat = jax.grad(lambda p: remat.apply({"params": p}, x).sum())(
+        v["params"])
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_grouped_prune_mode():
     """Grouped cadence with norm-based pruning at event boundaries."""
     layout = SequenceLayout.from_strings(

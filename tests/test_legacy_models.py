@@ -144,6 +144,48 @@ def test_single_image_concept_learner_and_attention_map():
     np.testing.assert_allclose(np.asarray(imp.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_attention_importance_scanned_stack():
+    """The probe also works for nn.scan'd stacks (TransformerStack),
+    whose sown weights arrive as ONE stacked (num_blocks, B, H, Q, K)
+    entry — previously dropped entirely because the scan did not declare
+    the 'intermediates' collection (review finding)."""
+    import flax.linen as nn
+
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig, TransformerConfig)
+    from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
+        TransformerStack)
+
+    class TinyScanned(nn.Module):
+        @nn.compact
+        def __call__(self, text, images):
+            t = nn.Embed(16, 16)(text)
+            im = nn.Dense(16)(images.reshape(images.shape[0], 4, -1))
+            x = jnp.concatenate([t, im], axis=1)
+            cfg = TransformerConfig(
+                num_blocks=2,
+                attention=AttentionConfig(num_heads=2, qkv_features=16,
+                                          dropout_rate=0.0),
+                mlp_dim=32, dropout_rate=0.0)
+            return TransformerStack(cfg, name="transformer")(x)
+
+    model = TinyScanned()
+    text = jnp.ones((2, 8), dtype=jnp.int32)
+    images = jnp.ones((2, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), text, images)
+
+    imps = [attention_importance(model, v, text, images, layer=i)
+            for i in range(2)]
+    for imp in imps:
+        assert imp.shape == (2, 8 + 4)
+        np.testing.assert_allclose(np.asarray(imp.sum(-1)), 1.0, rtol=1e-5)
+    # the layer index selects distinct layers from the stacked entry
+    assert not np.allclose(np.asarray(imps[0]), np.asarray(imps[1]))
+
+    with pytest.raises(ValueError, match="out of range"):
+        attention_importance(model, v, text, images, layer=5)
+
+
 def test_concept_learner_meta_loss():
     cfg = _cl_cfg()
     model = ConceptLearnerMetaLoss(cfg)
