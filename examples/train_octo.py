@@ -41,6 +41,11 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--cached-text", action="store_true",
+                   help="precompute the frozen text tower's embeddings per "
+                        "distinct instruction and train on them (requires "
+                        "a t5-kind frozen text tower; skips ~20%% of the "
+                        "forward every step)")
     p.add_argument("--recordio", default=None, metavar="FILE",
                    help="stream batches from FILE via the native record "
                         "loader (synthetic data written there on first use)")
@@ -159,13 +164,26 @@ def main():
             action_dim=head_cfg.action_space_dim,
             vocab_size=cfg.text.vocab_size)
 
+    if args.cached_text:
+        from multi_modal_transformers_tokenmerge_tpu.utils.data import (
+            cache_text_embeddings)
+        # the train step donates the state, invalidating the buffers that
+        # went into it — the lazy encoder needs its OWN copy of the
+        # (frozen) text tower
+        text_vars = {"params": {"text_encoder": jax.tree.map(
+            jnp.array, variables["params"]["text_encoder"])}}
+        batches = cache_text_embeddings(batches, model, text_vars)
+        print("cached-text training: frozen tower runs once per "
+              "distinct instruction")
+
     data = prefetch_to_device(batches, size=2, sharding=sharding)
 
     ckpt = CheckpointManager(args.ckpt) if args.ckpt else None
     logger = MetricLogger()
     state = fit(state, data, head=args.head, num_steps=args.steps,
                 mesh=mesh, logger=logger, log_every=25,
-                checkpointer=ckpt, checkpoint_every=100)
+                checkpointer=ckpt, checkpoint_every=100,
+                text_input="embeddings" if args.cached_text else "ids")
     print("final:", jax.device_get(state.metrics.compute()))
 
 

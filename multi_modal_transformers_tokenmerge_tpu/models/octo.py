@@ -202,11 +202,14 @@ class Octo(nn.Module):
         readouts = self.generate_readouts(text_tokens, images, train)
         return self.continuous_action_head(readouts)
 
+    def _l2_from_readouts(self, readouts, actions):
+        pred = jnp.squeeze(self.continuous_action_head(readouts))
+        return jnp.sum(jnp.square(pred - actions), axis=-1)
+
     def compute_l2_loss(self, text_tokens, images, actions,
                         train: bool = True):
-        pred = jnp.squeeze(
-            self.predict_continuous_action(text_tokens, images, train))
-        return jnp.sum(jnp.square(pred - actions), axis=-1)
+        return self._l2_from_readouts(
+            self.generate_readouts(text_tokens, images, train), actions)
 
     # ------------------------------------------------------------------
     # categorical action head (reference: octo.py:178-198)
@@ -216,15 +219,19 @@ class Octo(nn.Module):
         readouts = self.generate_readouts(text_tokens, images, train)
         return self.categorical_action_head(readouts)
 
-    def compute_ce_loss(self, text_tokens, images, actions,
-                        train: bool = True):
+    def _ce_from_readouts(self, readouts, actions):
         cfg = self.config.heads.categorical
         target_bin = assign_bins(actions, (-cfg.max_action, cfg.max_action),
                                  cfg.num_bins)
         targets = jax.nn.one_hot(target_bin, num_classes=cfg.num_bins)
-        logits = self.predict_action_logits(text_tokens, images, train)
+        logits = self.categorical_action_head(readouts)
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return -jnp.sum(targets * logprobs, axis=-1)
+
+    def compute_ce_loss(self, text_tokens, images, actions,
+                        train: bool = True):
+        return self._ce_from_readouts(
+            self.generate_readouts(text_tokens, images, train), actions)
 
     # ------------------------------------------------------------------
     # diffusion action head (reference: octo.py:130-154)
@@ -278,3 +285,31 @@ class Octo(nn.Module):
         readouts = self.generate_readouts_with_text(text_embeddings, images,
                                                     train)
         return self.categorical_action_head(readouts)
+
+    # ------------------------------------------------------------------
+    # cached-text TRAINING variants.  The flagship text tower is frozen
+    # (stop_gradient, modules/text.py:75-76 — mirroring the reference's
+    # t5_base.py:14), so its output per instruction is a constant: with
+    # utils.data.cache_text_embeddings these losses train the identical
+    # objective while skipping the tower's forward every step.
+    # ------------------------------------------------------------------
+
+    def compute_l2_loss_with_text(self, text_embeddings, images, actions,
+                                  train: bool = True):
+        return self._l2_from_readouts(
+            self.generate_readouts_with_text(text_embeddings, images, train),
+            actions)
+
+    def compute_ce_loss_with_text(self, text_embeddings, images, actions,
+                                  train: bool = True):
+        return self._ce_from_readouts(
+            self.generate_readouts_with_text(text_embeddings, images, train),
+            actions)
+
+    def compute_diffusion_denoise_loss_with_text(self, text_embeddings,
+                                                 images, actions,
+                                                 train: bool = True):
+        readouts = self.generate_readouts_with_text(text_embeddings, images,
+                                                    train)
+        return self.diffusion_action_head.denoise_loss(readouts, actions,
+                                                       train)

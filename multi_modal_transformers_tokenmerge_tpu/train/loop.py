@@ -32,7 +32,8 @@ def fit(state: OctoTrainState,
         checkpoint_every: int = 1000,
         step_fn: Optional[Callable] = None,
         eval_fn: Optional[Callable] = None,
-        eval_every: int = 0) -> OctoTrainState:
+        eval_every: int = 0,
+        text_input: str = "ids") -> OctoTrainState:
     """Run ``num_steps`` train steps.
 
     ``batches`` yields ``(text_tokens, images, actions)``.  With a mesh,
@@ -43,8 +44,13 @@ def fit(state: OctoTrainState,
     ``eval_fn(state) -> dict`` runs every ``eval_every`` steps (when both
     are set) and its results are logged under an ``eval/`` prefix — pair
     it with :func:`evaluate` for held-out loss.
+
+    ``text_input='embeddings'``: batches carry precomputed (B, T, E) text
+    embeddings (utils.data.cache_text_embeddings) instead of ids — the
+    frozen text tower is skipped every step.
     """
-    step = step_fn if step_fn is not None else make_train_step(head)
+    step = (step_fn if step_fn is not None
+            else make_train_step(head, text_input=text_input))
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     it = iter(batches)
@@ -101,7 +107,8 @@ def evaluate(state: OctoTrainState,
              batches: Iterable,
              head: str,
              num_batches: int,
-             mesh=None) -> dict:
+             mesh=None,
+             text_input: str = "ids") -> dict:
     """Average the head's loss over ``num_batches`` held-out batches — no
     gradients, no state mutation (the reference has no eval path at all).
     Runs the model in EVAL mode (train=False: dropout off, deterministic
@@ -112,9 +119,10 @@ def evaluate(state: OctoTrainState,
     calls on the same data agree.
     """
     from .state import Metrics
-    from .steps import LOSS_METHODS
+    from .steps import LOSS_METHODS, LOSS_METHODS_WITH_TEXT
 
-    method = LOSS_METHODS[head]
+    method = (LOSS_METHODS if text_input == "ids"
+              else LOSS_METHODS_WITH_TEXT)[head]
     sharding = batch_sharding(mesh) if mesh is not None else None
     eval_step = _make_eval_step(state.apply_fn, method)
 

@@ -17,7 +17,7 @@ import optax
 
 from .state import OctoTrainState
 
-__all__ = ["make_train_step", "LOSS_METHODS"]
+__all__ = ["make_train_step", "LOSS_METHODS", "LOSS_METHODS_WITH_TEXT"]
 
 LOSS_METHODS = {
     "continuous": "compute_l2_loss",
@@ -25,10 +25,21 @@ LOSS_METHODS = {
     "diffusion": "compute_diffusion_denoise_loss",
 }
 
+# precomputed-text variants: the first batch element is (B, T, E) text
+# embeddings instead of (B, T) ids — valid when the text tower is frozen
+# (its output per instruction is a constant; see
+# utils.data.cache_text_embeddings)
+LOSS_METHODS_WITH_TEXT = {
+    "continuous": "compute_l2_loss_with_text",
+    "categorical": "compute_ce_loss_with_text",
+    "diffusion": "compute_diffusion_denoise_loss_with_text",
+}
+
 
 def make_train_step(head: str, donate: bool = True, jit: bool = True,
-                    accum_steps: int = 1) -> Callable:
-    """Build ``step(state, text_tokens, images, actions) -> (state, loss)``.
+                    accum_steps: int = 1,
+                    text_input: str = "ids") -> Callable:
+    """Build ``step(state, text, images, actions) -> (state, loss)``.
 
     Sharded training needs no special step: place the state/batch on a mesh
     (parallel.mesh) and jit's SPMD partitioner inserts the gradient
@@ -39,11 +50,22 @@ def make_train_step(head: str, donate: bool = True, jit: bool = True,
     (one optimizer update per call, activation memory of one microbatch).
     Per-microbatch rngs are folded by the microbatch index, so stochastic
     pieces (dropout, patch positions, diffusion times) draw independently.
+
+    ``text_input='embeddings'`` takes precomputed (B, T, E) text-tower
+    embeddings instead of (B, T) ids — pair with
+    ``utils.data.cache_text_embeddings`` to skip the frozen tower's
+    forward every step (identical objective: the tower is behind
+    stop_gradient, so its output per instruction is a constant).
     """
+    if text_input not in ("ids", "embeddings"):
+        raise ValueError(
+            f"text_input must be 'ids' or 'embeddings', got {text_input!r}")
+    methods = (LOSS_METHODS if text_input == "ids"
+               else LOSS_METHODS_WITH_TEXT)
     try:
-        method = LOSS_METHODS[head]
+        method = methods[head]
     except KeyError:
-        raise ValueError(f"unknown head {head!r}; one of {sorted(LOSS_METHODS)}")
+        raise ValueError(f"unknown head {head!r}; one of {sorted(methods)}")
 
     # auxiliary objective terms (e.g. the MoE load-balance loss) are sown
     # into the 'losses' collection pre-weighted; applying with

@@ -15,7 +15,8 @@ from typing import Iterable, Iterator
 import jax
 import numpy as np
 
-__all__ = ["prefetch_to_device", "synthetic_octo_batches"]
+__all__ = ["prefetch_to_device", "synthetic_octo_batches",
+           "cache_text_embeddings"]
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2,
@@ -44,6 +45,70 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
         if (nxt := next(it, None)) is not None:
             queue.append(place(nxt))
         yield queue.popleft()
+
+
+def cache_text_embeddings(batch_iter: Iterable, model, variables,
+                          max_cache_rows: int = 1024) -> Iterator:
+    """Map ``(text_ids, images, actions)`` batches to
+    ``(text_embeddings, images, actions)``, running the frozen text tower
+    once per DISTINCT instruction row.
+
+    Robot-policy datasets carry a handful of instructions across millions
+    of steps, yet the tower re-encodes them every train step (~20% of the
+    octo_base forward, BASELINE.md stage decomposition).  Because the
+    tower is frozen (stop_gradient — reference t5_base.py:14), its output
+    per instruction is a training-time constant, so caching is exact, not
+    approximate.  Pair with ``make_train_step(..., text_input=
+    'embeddings')`` / ``fit(..., text_input='embeddings')``.
+
+    The cache is a bounded LRU over instruction rows (a (T, E) f32/bf16
+    row is ~50 KB at t5-base shapes; the default bounds it at ~50 MB).
+    Batches with any cache miss encode the WHOLE batch (one fixed
+    compiled signature); full hits skip the tower entirely.
+
+    ``variables`` may be just the text-tower subtree
+    ``{"params": {"text_encoder": ...}}`` — pass a COPY of it when your
+    train step donates the state, or the lazy encoder will read donated
+    buffers (see examples/train_octo.py --cached-text).
+    """
+    tcfg = model.config.text
+    # only the t5 tower actually honors cfg.frozen (modules/text.py);
+    # the 'embed' encoder is always trainable, so caching its output
+    # would silently train on stale text features
+    if not (tcfg.kind == "t5" and tcfg.frozen):
+        raise ValueError(
+            "cache_text_embeddings requires a frozen text tower "
+            "(config.text.kind='t5' with frozen=True); got "
+            f"kind={tcfg.kind!r}, frozen={getattr(tcfg, 'frozen', None)!r}"
+            " — a trainable tower's output changes every step")
+
+    def gen():
+        import collections as _c
+
+        encode = jax.jit(
+            lambda v, t: model.apply(v, t, method="encode_text"))
+        cache: "_c.OrderedDict[bytes, np.ndarray]" = _c.OrderedDict()
+
+        for batch in batch_iter:
+            ids, *rest = batch
+            ids_np = np.asarray(ids)
+            keys = [row.tobytes() for row in ids_np]
+            if all(k in cache for k in keys):
+                rows = []
+                for k in keys:
+                    cache.move_to_end(k)
+                    rows.append(cache[k])
+                emb = np.stack(rows)
+            else:
+                emb = np.asarray(encode(variables, ids_np))
+                for k, row in zip(keys, emb):
+                    cache[k] = row
+                    cache.move_to_end(k)
+                while len(cache) > max_cache_rows:
+                    cache.popitem(last=False)
+            yield (emb, *rest)
+
+    return gen()
 
 
 def synthetic_octo_batches(batch_size: int, image_shape=(2, 280, 280, 3),

@@ -229,6 +229,65 @@ def test_policy_engine_aot_cached(setup):
                                atol=1e-6)
 
 
+def test_cached_text_training_matches_ids():
+    """Training on precomputed text embeddings (frozen t5 tower) is EXACTLY
+    the ids objective: same loss, same updated params — the tower sits
+    behind stop_gradient, so its output per instruction is a constant."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        TextEncoderConfig)
+    from multi_modal_transformers_tokenmerge_tpu.utils.data import (
+        cache_text_embeddings)
+
+    cfg = octo_micro(text=TextEncoderConfig(
+        kind="t5", vocab_size=64, max_length=4, embedding_dim=32,
+        t5_num_layers=1, t5_num_heads=2, t5_d_kv=16, t5_d_ff=64))
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    text = jnp.asarray(np.tile([[3, 5, 2, 0]], (4, 1)).astype(np.int32))
+    images = jax.random.uniform(keys[0], (4, 64, 64, 3)) * 255
+    actions = jnp.full((4, 4), 0.3)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        text, images)
+    rngs = {"dropout": keys[2], "patch_encoding": keys[1]}
+
+    state_ids = create_train_state(model, _fresh_variables(variables),
+                                   optax.adam(1e-3), rngs=rngs)
+    s1, loss_ids = make_train_step("continuous", donate=False)(
+        state_ids, text, images, actions)
+
+    cached = cache_text_embeddings(
+        iter([(text, images, actions)]), model, variables)
+    emb, im2, act2 = next(cached)
+    assert emb.shape == (4, 4, 32)
+
+    state_emb = create_train_state(model, _fresh_variables(variables),
+                                   optax.adam(1e-3), rngs=rngs)
+    s2, loss_emb = make_train_step(
+        "continuous", donate=False, text_input="embeddings")(
+            state_emb, jnp.asarray(emb), im2, act2)
+
+    np.testing.assert_allclose(float(loss_ids), float(loss_emb),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # repeated instructions hit the cache (same rows -> identical output)
+    cached2 = cache_text_embeddings(
+        iter([(text, images, actions), (text, images, actions)]),
+        model, variables)
+    e1 = next(cached2)[0]
+    e2 = next(cached2)[0]
+    np.testing.assert_array_equal(e1, e2)
+
+    # a trainable tower is rejected eagerly
+    trainable = Octo(octo_micro())
+    with pytest.raises(ValueError, match="frozen"):
+        cache_text_embeddings(iter([]), trainable, variables)
+
+
 def test_checkpoint_restore_into_sharded_layout(tmp_path, setup):
     """Save a replicated state, restore directly into a mesh-sharded layout
     (the v5e-8 restore path — SURVEY.md §5 checkpoint row)."""
