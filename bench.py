@@ -559,34 +559,39 @@ def bench_train(cfg, images_stack, text, peak):
     actions = jnp.full((BATCH, 8), 0.3, dtype=jnp.float32)
     raw_step = make_train_step("diffusion", donate=False, jit=False)
 
-    @jax.jit
-    def loop(k, state0, text, images_stack, actions):
-        def body(i, carry):
-            state, acc = carry
-            img = jax.lax.dynamic_index_in_dim(images_stack,
-                                               i % images_stack.shape[0],
-                                               keepdims=False)
-            state, loss = raw_step(state, text, img, actions)
-            return state, acc + loss
-        _, acc = jax.lax.fori_loop(0, k, body, (state0, jnp.float32(0.0)),
-                                   unroll=False)
-        return acc
+    def make_loop(step_fn):
+        @jax.jit
+        def loop(k, state0, text_arg, images_stack, actions):
+            def body(i, carry):
+                state, acc = carry
+                img = jax.lax.dynamic_index_in_dim(images_stack,
+                                                   i % images_stack.shape[0],
+                                                   keepdims=False)
+                state, loss = step_fn(state, text_arg, img, actions)
+                return state, acc + loss
+            _, acc = jax.lax.fori_loop(0, k, body,
+                                       (state0, jnp.float32(0.0)),
+                                       unroll=False)
+            return acc
+        return loop
 
-    def run(k, args):
-        t0 = time.perf_counter()
-        out = float(loop(jnp.int32(k), *args))
-        dt = time.perf_counter() - t0
-        assert np.isfinite(out), out
-        return dt
+    def measure(loop, args):
+        def run(k):
+            t0 = time.perf_counter()
+            out = float(loop(jnp.int32(k), *args))
+            dt = time.perf_counter() - t0
+            assert np.isfinite(out), out
+            return dt
+        run(2)
+        k1, k2 = 4, 40
+        ts1 = [run(k1) for _ in range(REPS)]
+        ts2 = [run(k2) for _ in range(REPS)]
+        sec = (float(np.median(ts2)) - float(np.median(ts1))) / (k2 - k1)
+        if sec <= 0:
+            sec = float(np.median(ts2)) / k2
+        return sec
 
-    args = (state0, text, images_stack, actions)
-    run(2, args)
-    k1, k2 = 4, 40
-    ts1 = [run(k1, args) for _ in range(REPS)]
-    ts2 = [run(k2, args) for _ in range(REPS)]
-    sec = (float(np.median(ts2)) - float(np.median(ts1))) / (k2 - k1)
-    if sec <= 0:
-        sec = float(np.median(ts2)) / k2
+    sec = measure(make_loop(raw_step), (state0, text, images_stack, actions))
     single = jax.jit(raw_step, donate_argnums=0).lower(
         state0, text, images_stack[0], actions).compile()
     flops = flops_of(single)
@@ -601,6 +606,25 @@ def bench_train(cfg, images_stack, text, peak):
             raise SystemExit(1)
     log(f"[bench] train: {1.0/sec:.1f} steps/s ({sec*1e3:.1f} ms/step, "
         f"MFU {out.get('mfu', '?')})")
+
+    if cfg.text.kind == "t5":
+        # cached-text training (utils.data.cache_text_embeddings): the
+        # frozen tower's output is precomputed per instruction, the step
+        # trains on embeddings — identical objective, tower forward
+        # skipped every step
+        emb = jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))(
+            variables, text)
+        step_ct = make_train_step("diffusion", donate=False, jit=False,
+                                  text_input="embeddings")
+        sec_ct = measure(make_loop(step_ct),
+                         (state0, emb, images_stack, actions))
+        out["cached_text"] = {
+            "steps_per_sec": round(1.0 / sec_ct, 2),
+            "ms_per_step": round(sec_ct * 1e3, 3),
+            "speedup_vs_ids": round(sec / sec_ct, 3),
+        }
+        log(f"[bench] train cached-text: {1.0/sec_ct:.1f} steps/s "
+            f"({sec_ct*1e3:.1f} ms/step, {sec/sec_ct:.2f}x vs ids)")
     return out
 
 
