@@ -21,13 +21,10 @@ import jax.numpy as jnp
 
 __all__ = ["PolicyEngine"]
 
-from .export import _PREDICT_METHODS  # single source of truth
-
-_CACHED_METHODS = {
-    "continuous": "predict_continuous_action_with_text",
-    "categorical": "predict_action_logits_with_text",
-    "diffusion": "predict_diffusion_action_with_text",
-}
+from .export import (  # single source of truth
+    _PREDICT_METHODS,
+    CACHED_PREDICT_METHODS as _CACHED_METHODS,
+)
 
 
 class PolicyEngine:
@@ -264,10 +261,15 @@ class PolicyEngine:
 
     # -- compilation -----------------------------------------------------
 
-    def load_artifact(self, blob_or_path) -> "PolicyEngine":
-        """Use a precompiled policy artifact (serve.export.export_policy)
-        for the full text+images path — no compilation in this process.
-        The cached-instruction path still jit-compiles on first use."""
+    def load_artifact(self, blob_or_path,
+                      cached_blob_or_path=None) -> "PolicyEngine":
+        """Use precompiled policy artifacts (serve.export) — no model
+        compilation in this process.
+
+        ``blob_or_path`` serves the full text+images path
+        (export_policy); ``cached_blob_or_path`` additionally serves the
+        cached-instruction path (export_cached_policy) — without it that
+        hot path still jit-compiles on first use."""
         from .export import load_policy
         if self.image_tower != "bf16":
             raise ValueError(
@@ -275,6 +277,8 @@ class PolicyEngine:
                 "image tower; build an image_tower='bf16' engine or "
                 "compile() the int8 engine in-process")
         self._compiled = load_policy(blob_or_path)
+        if cached_blob_or_path is not None:
+            self._compiled_cached = load_policy(cached_blob_or_path)
         return self
 
     def compile(self, text_shape, image_shape,

@@ -362,6 +362,33 @@ def test_policy_engine_from_artifact(tmp_path, setup):
                                atol=1e-4)
 
 
+def test_policy_engine_cached_artifact(tmp_path, setup):
+    """Both serving paths load from precompiled artifacts: the engine
+    compiles NOTHING for predict (only the text tower runs live once per
+    instruction)."""
+    from multi_modal_transformers_tokenmerge_tpu.serve.export import (
+        export_cached_policy, export_policy)
+
+    cfg, model, variables, keys, text, images, actions = setup
+    full = str(tmp_path / "full.bin")
+    cached = str(tmp_path / "cached.bin")
+    export_policy(model, variables, head="continuous", batch_size=4,
+                  text_shape=(4,), image_shape=(64, 64, 3), path=full)
+    export_cached_policy(model, variables, head="continuous", batch_size=4,
+                         text_shape=(4,), image_shape=(64, 64, 3),
+                         path=cached)
+
+    engine = PolicyEngine(model, variables, head="continuous",
+                          batch_size=4).load_artifact(full, cached)
+    assert engine._compiled_cached is not None
+    engine.set_instruction(text)
+    got = engine(images)  # exercises the cached artifact
+    want = model.apply(variables, text, images,
+                       method="predict_continuous_action")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_ema_params_track_and_serve(setup):
     cfg, model, variables, keys, text, images, actions = setup
     state = create_train_state(
