@@ -81,7 +81,8 @@ def make_optimizer(peak_lr: float = 3e-4,
                    clip_norm: Optional[float] = 1.0,
                    b1: float = 0.9, b2: float = 0.999,
                    params=None,
-                   frozen_prefixes=()
+                   frozen_prefixes=(),
+                   skip_nonfinite_steps: int = 0
                    ) -> optax.GradientTransformation:
     """AdamW with warmup-cosine LR, global-norm clipping, masked decay,
     and (opt-in) frozen-module state masking.
@@ -90,6 +91,13 @@ def make_optimizer(peak_lr: float = 3e-4,
     all leaves, matching plain adamw).  Pass
     ``frozen_prefixes=('text_encoder',)`` for t5-frozen configs — NOT the
     default because embed-kind text towers are trainable.
+
+    ``skip_nonfinite_steps`` > 0 wraps the whole chain in
+    ``optax.apply_if_finite``: a step whose gradients contain inf/nan is
+    SKIPPED (params and inner optimizer state untouched) instead of
+    poisoning the parameters; training aborts only after that many
+    consecutive bad steps.  Long bf16 runs hit occasional overflow —
+    production trainers skip those steps rather than die or diverge.
     """
     schedule = warmup_cosine_schedule(peak_lr, warmup_steps, total_steps)
     chain = []
@@ -101,4 +109,6 @@ def make_optimizer(peak_lr: float = 3e-4,
     tx = optax.chain(*chain)
     if params is not None and frozen_prefixes:
         tx = mask_frozen(tx, params, frozen_prefixes)
+    if skip_nonfinite_steps > 0:
+        tx = optax.apply_if_finite(tx, skip_nonfinite_steps)
     return tx

@@ -188,6 +188,7 @@ class RecordReader:
         self._pos = 0
         self._perm = None
         self._mm = None  # lazy memmap for the numpy backend
+        self._consumed = 0  # batches handed out (for state()/restore_state)
 
     @property
     def batches_per_epoch(self) -> int:
@@ -257,7 +258,55 @@ class RecordReader:
                 raise StopIteration
         else:
             buf = self._next_numpy()
+        self._consumed += 1
         return self._split(buf)
+
+    # -- mid-epoch resume --------------------------------------------------
+
+    def state(self) -> Dict[str, int]:
+        """Serializable position: checkpoint it next to the train state so
+        a resumed run continues the data order instead of replaying (or
+        skipping) examples."""
+        return {"consumed": self._consumed}
+
+    def restore_state(self, state: Dict[str, int]) -> "RecordReader":
+        """Fast-forward a FRESH reader (same path/batch_size/shuffle_seed)
+        to a ``state()`` snapshot.  Each backend's order is deterministic
+        given the seed, so the resumed stream continues exactly.
+
+        numpy backend: O(1) counter math.  native backend: the C++ worker
+        pool owns the position, so the stream is replayed and discarded —
+        O(consumed) reads (sequential, no Python per record); for very
+        long runs prefer checkpointing at epoch boundaries.
+        """
+        consumed = int(state["consumed"])
+        if self._consumed:
+            raise ValueError(
+                "restore_state requires a fresh reader (already consumed "
+                f"{self._consumed} batches)")
+        if self._handle is not None:
+            for _ in range(consumed):
+                buf = np.empty(self.batch_size * self.record_size,
+                               dtype=np.uint8)
+                rc = self._lib.rio_next_batch(
+                    self._handle,
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                if rc != 0:
+                    raise RuntimeError("record replay failed during "
+                                       "restore_state")
+        else:
+            bpe = self.batches_per_epoch
+            full_epochs, rem = divmod(consumed, bpe)
+            rng = (np.random.default_rng(
+                (self.shuffle_seed or 0) + full_epochs)
+                if self.shuffle_seed is not None else None)
+            self._perm = (rng.permutation(self.num_records)
+                          if rng is not None
+                          else np.arange(self.num_records))
+            self._epoch = full_epochs + 1
+            self._pos = rem * self.batch_size
+        self._consumed = consumed
+        return self
 
     def close(self):
         if self._handle is not None:

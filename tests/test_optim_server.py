@@ -120,6 +120,25 @@ def test_make_optimizer_steps():
     assert float(jnp.abs(updates["w"]).max()) > 0.0
 
 
+def test_make_optimizer_skips_nonfinite_steps():
+    """apply_if_finite wrapper: a nan/inf gradient leaves params and the
+    inner optimizer state untouched; finite steps still apply."""
+    params = {"w": jnp.ones((4, 4))}
+    tx = make_optimizer(peak_lr=1e-2, warmup_steps=0, total_steps=10,
+                        clip_norm=None, params=params,
+                        skip_nonfinite_steps=3)
+    state = tx.init(params)
+    bad = {"w": jnp.full((4, 4), jnp.nan)}
+    updates, state = tx.update(bad, state, params)
+    assert float(jnp.abs(updates["w"]).max()) == 0.0
+    assert int(state.notfinite_count) == 1
+    good = {"w": jnp.ones((4, 4))}
+    updates, state = tx.update(good, state, params)
+    assert float(jnp.abs(updates["w"]).max()) > 0.0
+    assert bool(jnp.all(jnp.isfinite(updates["w"])))
+    assert int(state.notfinite_count) == 0
+
+
 @pytest.fixture(scope="module")
 def engine():
     cfg = octo_micro()

@@ -120,3 +120,36 @@ def test_native_reader_raises_on_truncated_file(tmp_path):
         for _ in range(r.batches_per_epoch):
             next(r)
     r.close()
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+@pytest.mark.parametrize("consumed", [0, 3, 4, 7, 9])
+def test_restore_state_continues_stream(record_file, backend, consumed):
+    """Mid-epoch resume: a fresh reader fast-forwarded to state() must
+    yield exactly the batches the original reader would have yielded next
+    (consumed spans: epoch start, mid-epoch, exact epoch boundary, and
+    into epoch 2+; batches_per_epoch here is 4)."""
+    if backend == "native":
+        pytest.importorskip("ctypes")
+    r1 = RecordReader(record_file, batch_size=B, shuffle_seed=11,
+                      backend=backend)
+    for _ in range(consumed):
+        next(r1)
+    snap = r1.state()
+    want = [next(r1)["text"][:, 0].tolist() for _ in range(5)]
+    r1.close()
+
+    r2 = RecordReader(record_file, batch_size=B, shuffle_seed=11,
+                      backend=backend).restore_state(snap)
+    got = [next(r2)["text"][:, 0].tolist() for _ in range(5)]
+    assert got == want
+    assert r2.state()["consumed"] == consumed + 5
+    r2.close()
+
+
+def test_restore_state_requires_fresh_reader(record_file):
+    r = RecordReader(record_file, batch_size=B, backend="numpy")
+    next(r)
+    with pytest.raises(ValueError, match="fresh"):
+        r.restore_state({"consumed": 0})
+    r.close()
