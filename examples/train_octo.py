@@ -41,6 +41,10 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint in --ckpt (train "
+                        "state AND data-stream position for --recordio) "
+                        "and run --steps more steps")
     p.add_argument("--cached-text", action="store_true",
                    help="precompute the frozen text tower's embeddings per "
                         "distinct instruction and train on them (requires "
@@ -88,6 +92,17 @@ def main():
         rngs["diffusion"] = keys[3]
     state = create_train_state(model, variables, tx, rngs=rngs)
 
+    ckpt = CheckpointManager(args.ckpt) if args.ckpt else None
+    resume_step = None
+    if ckpt is not None and args.resume:
+        resume_step = ckpt.latest_step()
+        if resume_step is not None:
+            restored = ckpt.restore(abstract_state=jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+            # apply_fn/tx are code, not data — keep the live ones
+            state = restored.replace(apply_fn=state.apply_fn, tx=state.tx)
+            print(f"resumed train state from step {resume_step}")
+
     mesh = None
     sharding = None
     if args.data_parallel:
@@ -95,6 +110,7 @@ def main():
         sharding = batch_sharding(mesh)
         print(f"data-parallel over {mesh.shape} devices")
 
+    data_state_fn = None
     if args.episodes:
         import numpy as np
 
@@ -155,6 +171,12 @@ def main():
                               shuffle_seed=0)
         print(f"record loader: backend={reader.backend}, "
               f"{reader.num_records} records")
+        if resume_step is not None:
+            ds = ckpt.restore_data_state(resume_step)
+            if ds is not None:
+                reader.restore_state(ds)
+                print(f"resumed data stream at batch {ds['consumed']}")
+        data_state_fn = reader.state
         batches = (
             (b["text"], b["images"], b["actions"]) for b in reader)
     else:
@@ -178,12 +200,12 @@ def main():
 
     data = prefetch_to_device(batches, size=2, sharding=sharding)
 
-    ckpt = CheckpointManager(args.ckpt) if args.ckpt else None
     logger = MetricLogger()
     state = fit(state, data, head=args.head, num_steps=args.steps,
                 mesh=mesh, logger=logger, log_every=25,
                 checkpointer=ckpt, checkpoint_every=100,
-                text_input="embeddings" if args.cached_text else "ids")
+                text_input="embeddings" if args.cached_text else "ids",
+                data_state_fn=data_state_fn)
     print("final:", jax.device_get(state.metrics.compute()))
 
 

@@ -32,8 +32,15 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state) -> bool:
+    def save(self, step: int, state, data_state: Optional[dict] = None
+             ) -> bool:
         """Async save; returns whether a save was started.
+
+        ``data_state`` (a small JSON-serializable dict, e.g.
+        ``RecordReader.state()``) is written synchronously as a sidecar so
+        a resumed run can fast-forward its data stream to the same
+        position (``restore_data_state``).  Sidecars for steps orbax has
+        garbage-collected are pruned on each save.
 
         The state is snapshotted with device-side copies first: the async
         serializer holds references to the arrays while the training loop's
@@ -51,7 +58,10 @@ class CheckpointManager:
             lambda x: jnp.array(x, copy=True)
             if isinstance(x, jax.Array) and x.is_fully_addressable else x,
             state)
-        return self._mgr.save(step, args=ocp.args.StandardSave(snapshot))
+        started = self._mgr.save(step, args=ocp.args.StandardSave(snapshot))
+        if data_state is not None and started:
+            self._write_data_state(step, data_state)
+        return started
 
     def restore(self, step: Optional[int] = None,
                 abstract_state: Optional[Any] = None):
@@ -80,6 +90,40 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    # -- data-stream position sidecars ------------------------------------
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self._mgr.directory.as_posix(), "data_state")
+
+    def _write_data_state(self, step: int, data_state: dict):
+        import json
+        os.makedirs(self._data_dir, exist_ok=True)
+        path = os.path.join(self._data_dir, f"{step}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data_state, f)
+        os.replace(tmp, path)  # atomic: never a torn sidecar
+        kept = {f"{s}.json" for s in self._mgr.all_steps()}
+        for name in os.listdir(self._data_dir):
+            if name.endswith(".json") and name not in kept:
+                os.remove(os.path.join(self._data_dir, name))
+
+    def restore_data_state(self, step: Optional[int] = None
+                           ) -> Optional[dict]:
+        """Data-stream position saved alongside ``step`` (default: latest),
+        or None when that save carried no data state — callers fall back
+        to a fresh stream, which only costs data-order continuity."""
+        import json
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        path = os.path.join(self._data_dir, f"{step}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def wait(self):
         """Block until any in-flight async save completes."""

@@ -33,7 +33,8 @@ def fit(state: OctoTrainState,
         step_fn: Optional[Callable] = None,
         eval_fn: Optional[Callable] = None,
         eval_every: int = 0,
-        text_input: str = "ids") -> OctoTrainState:
+        text_input: str = "ids",
+        data_state_fn: Optional[Callable] = None) -> OctoTrainState:
     """Run ``num_steps`` train steps.
 
     ``batches`` yields ``(text_tokens, images, actions)``.  With a mesh,
@@ -48,6 +49,14 @@ def fit(state: OctoTrainState,
     ``text_input='embeddings'``: batches carry precomputed (B, T, E) text
     embeddings (utils.data.cache_text_embeddings) instead of ids — the
     frozen text tower is skipped every step.
+
+    ``data_state_fn() -> dict`` (e.g. ``reader.state``) is saved alongside
+    each checkpoint so a resumed run fast-forwards its data stream
+    (``RecordReader.restore_state``) instead of replaying examples.  Note
+    it reports the SOURCE's position: batches sitting in wrapping prefetch
+    buffers (``prefetch_to_device``) count as consumed, so a resume may
+    skip up to the prefetch depth — bounded, and preferable to the
+    unbounded replay of not checkpointing data position at all.
     """
     step = (step_fn if step_fn is not None
             else make_train_step(head, text_input=text_input))
@@ -76,12 +85,18 @@ def fit(state: OctoTrainState,
                 logger.log({f"eval/{k}": float(v) for k, v in ev.items()},
                            step=int(state.step))
         if checkpointer is not None and (i + 1) % checkpoint_every == 0:
-            checkpointer.save(int(state.step), state)
+            checkpointer.save(int(state.step), state,
+                              data_state=_maybe(data_state_fn))
 
     if checkpointer is not None:
-        checkpointer.save(int(state.step), state)
+        checkpointer.save(int(state.step), state,
+                          data_state=_maybe(data_state_fn))
         checkpointer.wait()
     return state
+
+
+def _maybe(fn):
+    return fn() if fn is not None else None
 
 
 @functools.lru_cache(maxsize=8)

@@ -568,3 +568,80 @@ def test_evaluate_and_fit_eval_hook(setup):
                                              for k in p)]
     assert len(eval_logs) == 2  # steps 2 and 4
     assert all(np.isfinite(p["eval/loss"]) for p in eval_logs)
+
+
+def test_checkpoint_data_state_sidecar(tmp_path, setup):
+    """Data-stream position rides with each checkpoint: saved atomically,
+    restored by step, pruned with orbax's max_to_keep GC, and a
+    resumed RecordReader continues the exact batch order."""
+    from multi_modal_transformers_tokenmerge_tpu.utils.recordio import (
+        RecordReader, write_records)
+
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+
+    path = str(tmp_path / "train.rec")
+    write_records(path, ({"x": np.full((2,), i, np.float32)}
+                         for i in range(20)))
+    reader = RecordReader(path, batch_size=4, shuffle_seed=5,
+                          backend="numpy")
+    for _ in range(3):
+        next(reader)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    assert mgr.save(1, state, data_state=reader.state())
+    mgr.wait()
+    assert mgr.restore_data_state() == {"consumed": 3}
+
+    # resume from the sidecar: identical continuation
+    want = [next(reader)["x"][:, 0].tolist() for _ in range(3)]
+    r2 = RecordReader(path, batch_size=4, shuffle_seed=5,
+                      backend="numpy").restore_state(
+        mgr.restore_data_state(1))
+    got = [next(r2)["x"][:, 0].tolist() for _ in range(3)]
+    assert got == want
+
+    # max_to_keep=2: step-1 sidecar pruned once steps 2 and 3 exist
+    state2 = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    mgr.save(2, state2, data_state={"consumed": 6})
+    mgr.wait()
+    state3 = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    mgr.save(3, state3, data_state={"consumed": 9})
+    mgr.wait()
+    assert mgr.restore_data_state() == {"consumed": 9}
+    assert mgr.restore_data_state(1) is None  # pruned with its checkpoint
+    # a save without data_state is fine and restores as None
+    mgr.close()
+
+
+def test_fit_saves_data_state(tmp_path, setup):
+    """fit(data_state_fn=...) persists the stream position at every
+    checkpoint boundary, including the final save."""
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+
+    pulled = 0
+
+    def batches():
+        nonlocal pulled
+        while True:
+            pulled += 1
+            yield (text, images, actions)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    state = fit(state, batches(), head="continuous", num_steps=3,
+                checkpointer=mgr, checkpoint_every=2,
+                data_state_fn=lambda: {"consumed": pulled})
+    mgr.wait()
+    assert mgr.latest_step() == 3
+    assert mgr.restore_data_state() == {"consumed": 3}
+    assert mgr.restore_data_state(2) == {"consumed": 2}
+    mgr.close()
