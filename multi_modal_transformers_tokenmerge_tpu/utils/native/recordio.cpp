@@ -10,9 +10,14 @@
 //
 // A reader owns a pool of worker threads that pread() whole batches into
 // a bounded queue of prepared buffers; Python pops batches with a single
-// memcpy.  Shuffling is a per-epoch Fisher-Yates permutation (xorshift64),
-// deterministic given the seed.  Iteration loops forever (the consumer
-// counts epochs).
+// memcpy.  Shuffling is a per-epoch O(1) bijective index permutation
+// (cycle-walking multiply-xor rounds, deterministic given the seed), so
+// workers need no shared permutation array — and sharded readers
+// (rio_start shard_id/num_shards) slice DISJOINT position ranges of the
+// same permutation: exact per-host data partitioning with zero
+// coordination.  A reader may span several files (rio_open_multi) that
+// share one schema; records are addressed through cumulative counts.
+// Iteration loops forever (the consumer counts epochs).
 
 #include <atomic>
 #include <condition_variable>
@@ -29,17 +34,25 @@
 
 namespace {
 
-struct Reader {
+struct FilePart {
   int fd = -1;
   uint64_t data_off = 0;
-  uint32_t record_size = 0;
   uint64_t num_records = 0;
+  uint64_t cum_records = 0;  // records in all parts BEFORE this one
+};
+
+struct Reader {
+  std::vector<FilePart> parts;  // >= 1; equal record_size + schema
+  uint32_t record_size = 0;
+  uint64_t num_records = 0;  // total across parts
   std::string schema;
 
   // streaming state
   uint32_t batch_size = 0;
   uint64_t seed = 0;
   bool shuffle = false;
+  uint64_t shard_base = 0;   // first owned position of each epoch's
+  uint64_t shard_span = 0;   // permutation, and how many are owned
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
 
@@ -57,7 +70,7 @@ struct Reader {
   std::deque<std::pair<uint64_t, std::vector<uint8_t>>> queue;
 
   uint64_t batches_per_epoch() const {
-    return num_records / batch_size;  // drop remainder
+    return shard_span / batch_size;  // drop remainder
   }
 };
 
@@ -94,6 +107,19 @@ uint64_t index_at(const Reader &r, uint64_t epoch, uint64_t pos) {
   return x;
 }
 
+// global record index -> owning file part (binary search over the
+// cumulative counts; a handful of parts, but keep it O(log n))
+const FilePart &part_of(const Reader &r, uint64_t rec, uint64_t *local) {
+  size_t lo = 0, hi = r.parts.size() - 1;
+  while (lo < hi) {
+    size_t mid = (lo + hi + 1) / 2;
+    if (r.parts[mid].cum_records <= rec) lo = mid;
+    else hi = mid - 1;
+  }
+  *local = rec - r.parts[lo].cum_records;
+  return r.parts[lo];
+}
+
 void worker_main(Reader *r) {
   const uint64_t bpe = r->batches_per_epoch();
   std::vector<uint8_t> buf;
@@ -108,12 +134,17 @@ void worker_main(Reader *r) {
 
     buf.resize((size_t)r->batch_size * r->record_size);
     for (uint32_t i = 0; i < r->batch_size; ++i) {
-      uint64_t rec =
-          index_at(*r, epoch, batch_in_epoch * r->batch_size + i);
-      off_t off = (off_t)(r->data_off + rec * (uint64_t)r->record_size);
+      // this shard owns positions [shard_base, shard_base + shard_span)
+      // of the epoch's permutation — disjoint across shards by
+      // construction (the permutation is a bijection)
+      uint64_t rec = index_at(
+          *r, epoch, r->shard_base + batch_in_epoch * r->batch_size + i);
+      uint64_t local = 0;
+      const FilePart &p = part_of(*r, rec, &local);
+      off_t off = (off_t)(p.data_off + local * (uint64_t)r->record_size);
       size_t want = r->record_size, got = 0;
       while (got < want) {
-        ssize_t k = pread(r->fd, buf.data() + (size_t)i * r->record_size + got,
+        ssize_t k = pread(p.fd, buf.data() + (size_t)i * r->record_size + got,
                           want - got, off + (off_t)got);
         if (k <= 0) {
           // IO error / truncated file: this worker has already claimed a
@@ -147,37 +178,82 @@ void worker_main(Reader *r) {
 
 }  // namespace
 
-extern "C" {
-
-void *rio_open(const char *path) {
+// Open ONE file, appending a validated part to the reader.  Every part
+// must agree on record_size and schema (same logical dataset, split into
+// shardable pieces).  Returns false (and leaves the reader untouched
+// beyond closed fds) on any failure.
+bool open_part(Reader *r, const char *path) {
   int fd = open(path, O_RDONLY);
-  if (fd < 0) return nullptr;
-  auto *r = new Reader();
-  r->fd = fd;
+  if (fd < 0) return false;
   char magic[8];
   uint32_t schema_len = 0;
   if (pread(fd, magic, 8, 0) != 8 || memcmp(magic, "MMTRECv1", 8) != 0 ||
       pread(fd, &schema_len, 4, 8) != 4) {
     close(fd);
-    delete r;
-    return nullptr;
+    return false;
   }
-  r->schema.resize(schema_len);
+  std::string schema(schema_len, '\0');
   uint64_t off = 12;
-  if (pread(fd, r->schema.data(), schema_len, (off_t)off) !=
+  if (pread(fd, schema.data(), schema_len, (off_t)off) !=
       (ssize_t)schema_len) {
     close(fd);
-    delete r;
-    return nullptr;
+    return false;
   }
   off += schema_len;
-  if (pread(fd, &r->record_size, 4, (off_t)off) != 4 ||
-      pread(fd, &r->num_records, 8, (off_t)(off + 4)) != 8) {
+  uint32_t record_size = 0;
+  uint64_t num_records = 0;
+  if (pread(fd, &record_size, 4, (off_t)off) != 4 ||
+      pread(fd, &num_records, 8, (off_t)(off + 4)) != 8) {
     close(fd);
-    delete r;
-    return nullptr;
+    return false;
   }
-  r->data_off = off + 12;
+  if (r->parts.empty()) {
+    r->record_size = record_size;
+    r->schema = schema;
+  } else if (record_size != r->record_size || schema != r->schema) {
+    close(fd);
+    return false;  // incompatible part
+  }
+  FilePart p;
+  p.fd = fd;
+  p.data_off = off + 12;
+  p.num_records = num_records;
+  p.cum_records = r->num_records;
+  r->parts.push_back(p);
+  r->num_records += num_records;
+  return true;
+}
+
+Reader *free_reader(Reader *r) {
+  for (auto &p : r->parts)
+    if (p.fd >= 0) close(p.fd);
+  delete r;
+  return nullptr;
+}
+
+extern "C" {
+
+void *rio_open(const char *path) {
+  auto *r = new Reader();
+  if (!open_part(r, path)) return free_reader(r);
+  return r;
+}
+
+// paths: '\n'-separated list (simplest stable ctypes marshalling).  All
+// parts must share record_size and schema.
+void *rio_open_multi(const char *paths) {
+  auto *r = new Reader();
+  std::string all(paths);
+  size_t start = 0;
+  while (start <= all.size()) {
+    size_t nl = all.find('\n', start);
+    std::string one = all.substr(
+        start, nl == std::string::npos ? std::string::npos : nl - start);
+    if (!one.empty() && !open_part(r, one.c_str())) return free_reader(r);
+    if (nl == std::string::npos) break;
+    start = nl + 1;
+  }
+  if (r->parts.empty()) return free_reader(r);
   return r;
 }
 
@@ -191,10 +267,16 @@ int rio_schema(void *h, char *out, int cap) {
   return n;
 }
 
+// shard_id/num_shards: this reader yields only its own 1/num_shards of
+// every epoch (disjoint across shards) — per-host data parallelism.
 int rio_start(void *h, uint32_t batch_size, int num_threads, uint64_t seed,
-              int shuffle, int queue_depth) {
+              int shuffle, int queue_depth, uint32_t shard_id,
+              uint32_t num_shards) {
   auto *r = (Reader *)h;
-  if (batch_size == 0 || batch_size > r->num_records) return -1;
+  if (num_shards == 0 || shard_id >= num_shards) return -1;
+  r->shard_span = r->num_records / num_shards;
+  r->shard_base = (uint64_t)shard_id * r->shard_span;
+  if (batch_size == 0 || batch_size > r->shard_span) return -1;
   r->batch_size = batch_size;
   r->seed = seed;
   r->shuffle = shuffle != 0;
@@ -237,8 +319,7 @@ void rio_close(void *h) {
   }
   for (auto &t : r->workers)
     if (t.joinable()) t.join();
-  close(r->fd);
-  delete r;
+  free_reader(r);
 }
 
 }  // extern "C"

@@ -104,6 +104,8 @@ def _load_lib():
         lib = build_native_lib(_SRC, _SO, extra_flags=("-pthread",))
         lib.rio_open.restype = ctypes.c_void_p
         lib.rio_open.argtypes = [ctypes.c_char_p]
+        lib.rio_open_multi.restype = ctypes.c_void_p
+        lib.rio_open_multi.argtypes = [ctypes.c_char_p]
         lib.rio_num_records.restype = ctypes.c_uint64
         lib.rio_num_records.argtypes = [ctypes.c_void_p]
         lib.rio_record_size.restype = ctypes.c_uint32
@@ -114,7 +116,8 @@ def _load_lib():
         lib.rio_start.restype = ctypes.c_int
         lib.rio_start.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
                                   ctypes.c_int, ctypes.c_uint64,
-                                  ctypes.c_int, ctypes.c_int]
+                                  ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_uint32, ctypes.c_uint32]
         lib.rio_next_batch.restype = ctypes.c_int
         lib.rio_next_batch.argtypes = [ctypes.c_void_p,
                                        ctypes.POINTER(ctypes.c_uint8)]
@@ -138,7 +141,15 @@ def _read_header(path: str):
 
 
 class RecordReader:
-    """Iterate batches (dicts of numpy arrays) from a record file.
+    """Iterate batches (dicts of numpy arrays) from record file(s).
+
+    ``path`` may be one file or a sequence of files sharing a schema (a
+    dataset split into shardable pieces); records are addressed through
+    one concatenated index space.  ``shard_id``/``num_shards`` restrict
+    this reader to a DISJOINT 1/num_shards slice of every epoch's
+    permutation — per-host data partitioning for multi-host DP (pass
+    ``jax.process_index()``/``jax.process_count()``); remainder records
+    beyond ``num_records // num_shards`` are dropped.
 
     ``backend='native'`` uses the C++ threaded reader; ``'numpy'`` is the
     pure-Python fallback; ``'auto'`` picks native when a toolchain exists.
@@ -148,20 +159,38 @@ class RecordReader:
     of an epoch are dropped).  Each backend's shuffle is deterministic
     given the seed, but the two backends use different permutation
     algorithms (cycle-walking bijection vs numpy Fisher-Yates), so their
-    orders differ from each other.
+    orders differ from each other.  Shard disjointness holds within either
+    backend (all shards of a job must use the same backend and seed).
     """
 
-    def __init__(self, path: str, batch_size: int, shuffle_seed=None,
+    def __init__(self, path, batch_size: int, shuffle_seed=None,
                  num_threads: int = 2, queue_depth: int = 4,
-                 backend: str = "auto", copy_fields: bool = False):
-        self.path = path
+                 backend: str = "auto", copy_fields: bool = False,
+                 shard_id: int = 0, num_shards: int = 1):
+        paths = [path] if isinstance(path, (str, os.PathLike)) else list(path)
+        if not paths:
+            raise ValueError("need at least one record file")
+        self.path = paths[0]
+        self.paths = [os.fspath(p) for p in paths]
         self.batch_size = batch_size
-        self.schema, self.record_size, self.num_records, self._data_off = (
-            _read_header(path))
-        if batch_size <= 0 or batch_size > self.num_records:
+        headers = [_read_header(p) for p in self.paths]
+        self.schema, self.record_size = headers[0][0], headers[0][1]
+        for p, (schema, rec_size, _, _) in zip(self.paths[1:], headers[1:]):
+            if schema != self.schema or rec_size != self.record_size:
+                raise ValueError(
+                    f"{p}: schema/record_size differs from {self.paths[0]}")
+        self.num_records = sum(h[2] for h in headers)
+        self._data_offs = [h[3] for h in headers]
+        self._cum_records = np.cumsum([0] + [h[2] for h in headers])
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.shard_id, self.num_shards = shard_id, num_shards
+        self._shard_span = self.num_records // num_shards
+        if batch_size <= 0 or batch_size > self._shard_span:
             raise ValueError(
                 f"batch_size {batch_size} invalid for "
-                f"{self.num_records} records")
+                f"{self._shard_span} records per shard "
+                f"({self.num_records} total / {num_shards} shards)")
         self.shuffle_seed = shuffle_seed
         self.copy_fields = copy_fields
         if backend == "auto":
@@ -170,13 +199,15 @@ class RecordReader:
         self._handle = None
         if backend == "native":
             lib = _load_lib()
-            handle = lib.rio_open(path.encode("utf-8"))
+            handle = lib.rio_open_multi(
+                "\n".join(self.paths).encode("utf-8"))
             if not handle:
-                raise RuntimeError(f"rio_open failed for {path}")
+                raise RuntimeError(f"rio_open failed for {self.paths}")
             rc = lib.rio_start(
                 handle, batch_size, num_threads,
                 0 if shuffle_seed is None else int(shuffle_seed),
-                0 if shuffle_seed is None else 1, queue_depth)
+                0 if shuffle_seed is None else 1, queue_depth,
+                shard_id, num_shards)
             if rc != 0:
                 lib.rio_close(handle)
                 raise RuntimeError("rio_start failed")
@@ -187,12 +218,12 @@ class RecordReader:
         self._epoch = 0
         self._pos = 0
         self._perm = None
-        self._mm = None  # lazy memmap for the numpy backend
+        self._mm = None  # lazy memmaps for the numpy backend
         self._consumed = 0  # batches handed out (for state()/restore_state)
 
     @property
     def batches_per_epoch(self) -> int:
-        return self.num_records // self.batch_size
+        return self._shard_span // self.batch_size
 
     def _split(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
         """One batch buffer -> per-field arrays, ZERO-copy by default: the
@@ -225,19 +256,24 @@ class RecordReader:
                           else np.arange(self.num_records))
             self._epoch += 1
             self._pos = 0
-        idx = self._perm[self._pos:self._pos + self.batch_size]
+        base = self.shard_id * self._shard_span
+        idx = self._perm[base + self._pos:base + self._pos + self.batch_size]
         self._pos += self.batch_size
         if self._mm is None:
-            # one memmap for the reader's lifetime (the per-batch
+            # one memmap per file for the reader's lifetime (the per-batch
             # open/seek/read pattern costs thousands of syscalls per
             # second on the training hot path; episodes.py uses the
             # same memmap approach)
-            self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
+            self._mm = [np.memmap(p, dtype=np.uint8, mode="r")
+                        for p in self.paths]
         rs = self.record_size
         buf = np.empty(self.batch_size * rs, dtype=np.uint8)
         for i, rec in enumerate(idx):
-            off = self._data_off + int(rec) * rs
-            buf[i * rs:(i + 1) * rs] = self._mm[off:off + rs]
+            f = int(np.searchsorted(self._cum_records, int(rec),
+                                    side="right")) - 1
+            off = self._data_offs[f] + (int(rec)
+                                        - int(self._cum_records[f])) * rs
+            buf[i * rs:(i + 1) * rs] = self._mm[f][off:off + rs]
         return buf
 
     def __iter__(self):
@@ -270,8 +306,8 @@ class RecordReader:
         return {"consumed": self._consumed}
 
     def restore_state(self, state: Dict[str, int]) -> "RecordReader":
-        """Fast-forward a FRESH reader (same path/batch_size/shuffle_seed)
-        to a ``state()`` snapshot.  Each backend's order is deterministic
+        """Fast-forward a FRESH reader (same paths/batch_size/shuffle_seed/
+        shard config) to a ``state()`` snapshot.  Each backend's order is deterministic
         given the seed, so the resumed stream continues exactly.
 
         numpy backend: O(1) counter math.  native backend: the C++ worker

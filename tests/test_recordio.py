@@ -153,3 +153,88 @@ def test_restore_state_requires_fresh_reader(record_file):
     with pytest.raises(ValueError, match="fresh"):
         r.restore_state({"consumed": 0})
     r.close()
+
+
+@pytest.fixture(scope="module")
+def multi_files(tmp_path_factory):
+    """Three parts of one dataset (sizes 10/7/20); record value == its
+    global concatenated index, so file routing errors are visible."""
+    d = tmp_path_factory.mktemp("rio_multi")
+    sizes, paths, start = [10, 7, 20], [], 0
+    for j, n in enumerate(sizes):
+        p = str(d / f"part{j}.rec")
+        write_records(p, ({"text": np.full((3,), start + i, np.int32),
+                           "actions": np.zeros((4,), np.float32),
+                           "images": np.zeros((4, 4, 3), np.uint8)}
+                          for i in range(n)))
+        paths.append(p)
+        start += n
+    return paths
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_multi_file_epoch_covers_concatenated_records(multi_files, backend):
+    r = RecordReader(multi_files, batch_size=6, shuffle_seed=3,
+                     backend=backend)
+    assert r.num_records == 37
+    seen = []
+    for _ in range(r.batches_per_epoch):
+        seen.extend(next(r)["text"][:, 0].tolist())
+    # distinct records drawn from the full concatenated index space,
+    # crossing every file boundary
+    assert len(set(seen)) == len(seen)
+    assert any(v < 10 for v in seen) and any(v >= 17 for v in seen)
+    assert all(0 <= v < 37 for v in seen)
+    r.close()
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_sharded_readers_are_disjoint_and_cover(multi_files, backend):
+    """Two shards of the same seed: per-epoch record sets are disjoint,
+    and their union is 2 * (37 // 2 // 6 * 6) distinct records."""
+    per_epoch = {}
+    for shard in (0, 1):
+        r = RecordReader(multi_files, batch_size=6, shuffle_seed=9,
+                         backend=backend, shard_id=shard, num_shards=2)
+        assert r.batches_per_epoch == (37 // 2) // 6
+        got = []
+        for _ in range(r.batches_per_epoch):
+            got.extend(next(r)["text"][:, 0].tolist())
+        per_epoch[shard] = set(got)
+        assert len(per_epoch[shard]) == len(got)
+        r.close()
+    assert not (per_epoch[0] & per_epoch[1])
+    assert len(per_epoch[0] | per_epoch[1]) == 2 * ((37 // 2) // 6) * 6
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_sharded_restore_state(multi_files, backend):
+    r1 = RecordReader(multi_files, batch_size=4, shuffle_seed=2,
+                      backend=backend, shard_id=1, num_shards=2)
+    for _ in range(5):
+        next(r1)
+    snap = r1.state()
+    want = [next(r1)["text"][:, 0].tolist() for _ in range(4)]
+    r1.close()
+    r2 = RecordReader(multi_files, batch_size=4, shuffle_seed=2,
+                      backend=backend, shard_id=1,
+                      num_shards=2).restore_state(snap)
+    got = [next(r2)["text"][:, 0].tolist() for _ in range(4)]
+    assert got == want
+    r2.close()
+
+
+def test_multi_file_schema_mismatch_raises(multi_files, tmp_path):
+    bad = str(tmp_path / "bad.rec")
+    write_records(bad, ({"other": np.zeros((2,), np.float32)}
+                        for _ in range(4)))
+    with pytest.raises(ValueError, match="schema"):
+        RecordReader(multi_files + [bad], batch_size=4, backend="numpy")
+
+
+def test_shard_args_validated(record_file):
+    with pytest.raises(ValueError, match="shard_id"):
+        RecordReader(record_file, batch_size=4, shard_id=2, num_shards=2)
+    with pytest.raises(ValueError, match="batch_size"):
+        # 37 // 8 shards = 4 records/shard < batch 8
+        RecordReader(record_file, batch_size=8, num_shards=8)
