@@ -67,16 +67,24 @@ class EpisodeWindowSampler:
     ``text_ids (B, L)``.  Iteration is infinite (epochs stream back to
     back, remainder steps beyond the last full batch are dropped);
     shuffling is a per-epoch permutation when ``shuffle_seed`` is given.
+
+    ``shard_id``/``num_shards`` restrict this sampler to a disjoint
+    1/num_shards slice of every epoch's permutation (per-host data
+    partitioning, same semantics as ``RecordReader``), and
+    ``state()``/``restore_state()`` give exact mid-epoch resume.
     """
 
     def __init__(self, path: str, batch_size: int, frames: int,
-                 shuffle_seed=None):
+                 shuffle_seed=None, shard_id: int = 0, num_shards: int = 1):
         if frames < 1:
             raise ValueError(f"frames must be >= 1, got {frames}")
         self.path = path
         self.batch_size = batch_size
         self.frames = frames
         self.shuffle_seed = shuffle_seed
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.shard_id, self.num_shards = shard_id, num_shards
         schema, rec_size, num, data_off = _read_header(path)
         names = [name for name, _, _ in schema]
         for req in ("image", "action", "text_ids", "step"):
@@ -88,10 +96,12 @@ class EpisodeWindowSampler:
                                     for name, shape, dt in schema])
         assert self._rec_dtype.itemsize == rec_size
         self.num_steps = int(num)
-        if batch_size <= 0 or batch_size > self.num_steps:
+        self._shard_span = self.num_steps // num_shards
+        if batch_size <= 0 or batch_size > self._shard_span:
             raise ValueError(
-                f"batch_size {batch_size} invalid for {self.num_steps} "
-                f"steps")
+                f"batch_size {batch_size} invalid for {self._shard_span} "
+                f"steps per shard ({self.num_steps} total / "
+                f"{num_shards} shards)")
         self._mm = np.memmap(path, dtype=np.uint8, mode="r",
                              offset=data_off,
                              shape=(self.num_steps, rec_size))
@@ -108,26 +118,31 @@ class EpisodeWindowSampler:
         self._epoch = 0
         self._pos = 0
         self._perm = None
+        self._consumed = 0
 
     @property
     def batches_per_epoch(self) -> int:
-        return self.num_steps // self.batch_size
+        return self._shard_span // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self
 
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        if self.shuffle_seed is not None:
+            rng = np.random.default_rng(self.shuffle_seed + epoch)
+            return rng.permutation(self.num_steps)
+        return np.arange(self.num_steps)
+
     def __next__(self) -> Dict[str, np.ndarray]:
         limit = self.batches_per_epoch * self.batch_size
         if self._perm is None or self._pos + self.batch_size > limit:
-            if self.shuffle_seed is not None:
-                rng = np.random.default_rng(self.shuffle_seed + self._epoch)
-                self._perm = rng.permutation(self.num_steps)
-            else:
-                self._perm = np.arange(self.num_steps)
+            self._perm = self._epoch_perm(self._epoch)
             self._epoch += 1
             self._pos = 0
-        sel = self._perm[self._pos:self._pos + self.batch_size]
+        base = self.shard_id * self._shard_span
+        sel = self._perm[base + self._pos:base + self._pos + self.batch_size]
         self._pos += self.batch_size
+        self._consumed += 1
 
         frame_idx = self._window_idx[sel]                # (B, F)
         recs = np.ascontiguousarray(
@@ -138,3 +153,25 @@ class EpisodeWindowSampler:
             "actions": np.ascontiguousarray(recs["action"][:, -1]),
             "text_ids": np.ascontiguousarray(recs["text_ids"][:, -1]),
         }
+
+    # -- mid-epoch resume (same contract as RecordReader) ------------------
+
+    def state(self) -> Dict[str, int]:
+        """Serializable position for checkpointing next to the train
+        state (``fit(data_state_fn=sampler.state)``)."""
+        return {"consumed": self._consumed}
+
+    def restore_state(self, state: Dict[str, int]) -> "EpisodeWindowSampler":
+        """Fast-forward a FRESH sampler (same path/batch_size/frames/
+        shuffle_seed/shard config) to a ``state()`` snapshot — O(1)."""
+        consumed = int(state["consumed"])
+        if self._consumed:
+            raise ValueError(
+                "restore_state requires a fresh sampler (already consumed "
+                f"{self._consumed} batches)")
+        full_epochs, rem = divmod(consumed, self.batches_per_epoch)
+        self._perm = self._epoch_perm(full_epochs)
+        self._epoch = full_epochs + 1
+        self._pos = rem * self.batch_size
+        self._consumed = consumed
+        return self

@@ -130,3 +130,46 @@ def test_train_step_integration(record_file):
     step = make_train_step(head="continuous")
     state, loss = step(state, text, images, actions)
     assert np.isfinite(float(loss))
+
+
+def test_sampler_shards_disjoint_and_cover(record_file):
+    """Two shards of one seed: disjoint newest-step sets per epoch whose
+    union has 2 * ((15 // 2) // 3) * 3 distinct windows."""
+    path, lengths = record_file
+
+    def newest_steps(shard):
+        s = EpisodeWindowSampler(path, batch_size=3, frames=1,
+                                 shuffle_seed=4, shard_id=shard,
+                                 num_shards=2)
+        assert s.batches_per_epoch == (sum(lengths) // 2) // 3
+        got = []
+        for _ in range(s.batches_per_epoch):
+            b = next(s)
+            # (episode, step) pixel encoding identifies the window
+            got.extend(b["images"][:, 0, 0, 0, 0].tolist())
+        assert len(set(got)) == len(got)
+        return set(got)
+
+    a, b = newest_steps(0), newest_steps(1)
+    assert not (a & b)
+    assert len(a | b) == 2 * ((sum(lengths) // 2) // 3) * 3
+
+
+@pytest.mark.parametrize("consumed", [0, 2, 4, 5, 9])
+def test_sampler_restore_state_continues(record_file, consumed):
+    """batches_per_epoch is 5 here, so consumed spans epoch start,
+    mid-epoch, exact boundary, and into epoch 2."""
+    path, _ = record_file
+    s1 = EpisodeWindowSampler(path, batch_size=3, frames=2, shuffle_seed=8)
+    for _ in range(consumed):
+        next(s1)
+    snap = s1.state()
+    want = [next(s1)["images"][:, -1, 0, 0, 0].tolist() for _ in range(4)]
+
+    s2 = EpisodeWindowSampler(path, batch_size=3, frames=2,
+                              shuffle_seed=8).restore_state(snap)
+    got = [next(s2)["images"][:, -1, 0, 0, 0].tolist() for _ in range(4)]
+    assert got == want
+    assert s2.state()["consumed"] == consumed + 4
+    with pytest.raises(ValueError, match="fresh"):
+        s2.restore_state(snap)
