@@ -26,6 +26,7 @@ from multi_modal_transformers_tokenmerge_tpu.parallel.mesh import (
     batch_sharding, make_mesh)
 from multi_modal_transformers_tokenmerge_tpu.train.checkpoint import (
     CheckpointManager)
+from multi_modal_transformers_tokenmerge_tpu.train.loop import graceful_stop
 from multi_modal_transformers_tokenmerge_tpu.train.optim import make_optimizer
 from multi_modal_transformers_tokenmerge_tpu.utils.data import (
     prefetch_to_device, synthetic_octo_batches)
@@ -201,11 +202,14 @@ def main():
     data = prefetch_to_device(batches, size=2, sharding=sharding)
 
     logger = MetricLogger()
+    # SIGTERM/SIGINT (pod preemption, ctrl-C) checkpoints and exits
+    # cleanly; restart with --resume to continue
     state = fit(state, data, head=args.head, num_steps=args.steps,
                 mesh=mesh, logger=logger, log_every=25,
                 checkpointer=ckpt, checkpoint_every=100,
                 text_input="embeddings" if args.cached_text else "ids",
-                data_state_fn=data_state_fn)
+                data_state_fn=data_state_fn,
+                should_stop=graceful_stop() if ckpt else None)
     print("final:", jax.device_get(state.metrics.compute()))
 
 

@@ -9,6 +9,7 @@ checkpointing, optionally sharded over a device mesh.
 from __future__ import annotations
 
 import functools
+import signal
 from typing import Callable, Iterable, Optional
 
 import jax
@@ -17,7 +18,27 @@ from ..parallel.mesh import batch_sharding
 from .state import OctoTrainState
 from .steps import make_train_step
 
-__all__ = ["fit", "evaluate"]
+__all__ = ["fit", "evaluate", "graceful_stop"]
+
+
+def graceful_stop(signals=(signal.SIGTERM, signal.SIGINT)):
+    """Returns a zero-arg callable that flips to True once any of
+    ``signals`` arrives — pass it as ``fit(should_stop=...)`` so a
+    preempted run (TPU pod eviction sends SIGTERM) checkpoints and
+    returns instead of dying mid-step.  Previously installed handlers
+    are chained, not replaced."""
+    state = {"stop": False}
+
+    def make_handler(prev):
+        def handler(signum, frame):
+            state["stop"] = True
+            if callable(prev):
+                prev(signum, frame)
+        return handler
+
+    for s in signals:
+        signal.signal(s, make_handler(signal.getsignal(s)))
+    return lambda: state["stop"]
 
 
 def fit(state: OctoTrainState,
@@ -34,7 +55,8 @@ def fit(state: OctoTrainState,
         eval_fn: Optional[Callable] = None,
         eval_every: int = 0,
         text_input: str = "ids",
-        data_state_fn: Optional[Callable] = None) -> OctoTrainState:
+        data_state_fn: Optional[Callable] = None,
+        should_stop: Optional[Callable] = None) -> OctoTrainState:
     """Run ``num_steps`` train steps.
 
     ``batches`` yields ``(text_tokens, images, actions)``.  With a mesh,
@@ -57,6 +79,10 @@ def fit(state: OctoTrainState,
     buffers (``prefetch_to_device``) count as consumed, so a resume may
     skip up to the prefetch depth — bounded, and preferable to the
     unbounded replay of not checkpointing data position at all.
+
+    ``should_stop()`` (e.g. :func:`graceful_stop`) is polled once per
+    step; when it turns true the loop checkpoints (if a checkpointer is
+    set) and returns early — preemption-safe training.
     """
     step = (step_fn if step_fn is not None
             else make_train_step(head, text_input=text_input))
@@ -87,6 +113,8 @@ def fit(state: OctoTrainState,
         if checkpointer is not None and (i + 1) % checkpoint_every == 0:
             checkpointer.save(int(state.step), state,
                               data_state=_maybe(data_state_fn))
+        if should_stop is not None and should_stop():
+            break
 
     if checkpointer is not None:
         checkpointer.save(int(state.step), state,

@@ -645,3 +645,46 @@ def test_fit_saves_data_state(tmp_path, setup):
     assert mgr.restore_data_state() == {"consumed": 3}
     assert mgr.restore_data_state(2) == {"consumed": 2}
     mgr.close()
+
+
+def test_fit_graceful_stop_checkpoints_and_returns(tmp_path, setup):
+    """A preemption signal mid-run makes fit checkpoint and return early
+    instead of dying; the saved step and data state reflect the stop
+    point, and a previously installed handler still fires (chained)."""
+    import os
+    import signal as sig
+
+    from multi_modal_transformers_tokenmerge_tpu.train.loop import (
+        graceful_stop)
+
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+
+    chained = []
+    prev = sig.signal(sig.SIGUSR1, lambda s, f: chained.append(s))
+    try:
+        stop = graceful_stop(signals=(sig.SIGUSR1,))
+        pulled = 0
+
+        def batches():
+            nonlocal pulled
+            while True:
+                pulled += 1
+                if pulled == 3:  # preemption arrives mid-run
+                    os.kill(os.getpid(), sig.SIGUSR1)
+                yield (text, images, actions)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        state = fit(state, batches(), head="continuous", num_steps=100,
+                    checkpointer=mgr, checkpoint_every=1000,
+                    data_state_fn=lambda: {"consumed": pulled},
+                    should_stop=stop)
+        mgr.wait()
+        assert int(state.step) == 3  # stopped at the signal, not at 100
+        assert mgr.latest_step() == 3
+        assert mgr.restore_data_state() == {"consumed": 3}
+        assert chained == [sig.SIGUSR1]  # previous handler still ran
+    finally:
+        sig.signal(sig.SIGUSR1, prev)
