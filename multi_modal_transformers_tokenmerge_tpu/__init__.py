@@ -24,7 +24,7 @@ from .models.presets import get_preset, octo_base, octo_small, octo_tiny
 from .sequence.dsl import TokenSetSpec, parse_sequence
 from .sequence.layout import SequenceLayout
 from .serve.policy import PolicyEngine
-from .train.loop import fit
+from .train.loop import evaluate, fit, graceful_stop
 from .train.state import Metrics, OctoTrainState, create_train_state
 from .train.steps import make_train_step
 
@@ -36,6 +36,7 @@ __all__ = [
     "OctoConfig", "ResNetEmbedderConfig", "TextEncoderConfig",
     "TransformerConfig", "load_config", "Octo", "TokenEmbeddings",
     "get_preset", "octo_base", "octo_small", "octo_tiny", "TokenSetSpec",
-    "parse_sequence", "SequenceLayout", "PolicyEngine", "fit", "Metrics",
-    "OctoTrainState", "create_train_state", "make_train_step",
+    "parse_sequence", "SequenceLayout", "PolicyEngine", "evaluate", "fit",
+    "graceful_stop", "Metrics", "OctoTrainState", "create_train_state",
+    "make_train_step",
 ]
