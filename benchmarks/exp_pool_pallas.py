@@ -61,6 +61,8 @@ def main():
                          "bwd_ms": round(s_g * 1e3, 3)}
         log(f"[pool] {name}: fwd {s_f*1e3:.3f}  bwd {s_g*1e3:.3f} ms")
 
+    e2e = bench_e2e_train()
+
     sp = results["xla"]["bwd_ms"] / max(results["pallas"]["bwd_ms"], 1e-9)
     print(json.dumps({
         "metric": "pool_bwd_pallas_vs_xla_ms",
@@ -68,8 +70,64 @@ def main():
         "unit": "ms/call",
         "vs_baseline": round(sp, 3),
         "detail": {"batch": B, "shapes": "x(23,23,64,1600) bf16",
-                   **results},
+                   **results, "train_step_e2e": e2e},
     }))
+
+
+def bench_e2e_train():
+    """The number that decides the config default: full octo_base diffusion
+    train step, pool_vjp='xla' vs 'pallas' (everything else identical)."""
+    import optax
+
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    from multi_modal_transformers_tokenmerge_tpu.models.presets import (
+        octo_base)
+    from multi_modal_transformers_tokenmerge_tpu.train.optim import (
+        mask_frozen)
+    from multi_modal_transformers_tokenmerge_tpu.train.state import (
+        create_train_state)
+    from multi_modal_transformers_tokenmerge_tpu.train.steps import (
+        make_train_step)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 5)
+    text = jnp.ones((B, 16), jnp.int32)
+    imgs2 = jax.random.uniform(keys[4], (2, B, 2, 280, 280, 3),
+                               jnp.float32) * 255
+    actions = jnp.full((B, 8), 0.3, jnp.float32)
+    out = {}
+    for vjp in ("xla", "pallas"):
+        cfg = octo_base(dtype="bfloat16")
+        cfg = cfg.replace(images=cfg.images.replace(
+            resnet=cfg.images.resnet.replace(pool_vjp=vjp)))
+        model = Octo(cfg)
+        variables = jax.jit(model.init)(
+            {"params": keys[0], "patch_encoding": keys[1],
+             "dropout": keys[2], "diffusion": keys[3]}, text, imgs2[0])
+        state0 = create_train_state(
+            model, variables,
+            mask_frozen(optax.adamw(1e-4), variables["params"]),
+            rngs={"dropout": keys[2], "patch_encoding": keys[1],
+                  "diffusion": keys[3]})
+        step = make_train_step("diffusion", donate=False, jit=False)
+
+        def train_tick(i, state_and_acc, step=step):
+            state, acc = state_and_acc
+            img = jax.lax.dynamic_index_in_dim(imgs2, i % 2, keepdims=False)
+            state, loss = step(state, text, img, actions)
+            return state, acc + loss
+
+        @jax.jit
+        def loop(k, state0):
+            _, acc = jax.lax.fori_loop(
+                0, k, lambda i, c: train_tick(i, c),
+                (state0, jnp.float32(0.0)), unroll=False)
+            return acc
+
+        s = sec_per_call(loop, (state0,), f"pool_e2e_{vjp}")
+        out[vjp] = round(s * 1e3, 3)
+        log(f"[pool] e2e train {vjp}: {s*1e3:.3f} ms/step")
+    out["pallas_speedup"] = round(out["xla"] / max(out["pallas"], 1e-9), 4)
+    return out
 
 
 if __name__ == "__main__":
