@@ -170,6 +170,7 @@ void worker_main(Reader *r) {
              counter < r->next_delivered + r->queue_cap;
     });
     if (r->stop.load(std::memory_order_relaxed)) return;
+    if (counter < r->next_delivered) continue;  // rio_skip passed this batch
     r->queue.emplace_back(counter, std::move(buf));
     buf = std::vector<uint8_t>();
     r->q_ready.notify_all();
@@ -285,6 +286,31 @@ int rio_start(void *h, uint32_t batch_size, int num_threads, uint64_t seed,
   for (int i = 0; i < (num_threads > 0 ? num_threads : 2); ++i)
     r->workers.emplace_back(worker_main, r);
   return 0;
+}
+
+// Fast-forward the stream by n batches WITHOUT reading them — O(1):
+// record selection is a pure function of the batch counter (index_at), so
+// advancing the delivery horizon and the dispenser is exact.  Prepared
+// batches now below the horizon are dropped; workers mid-read of a
+// skipped counter discard their result on insert.  Used by
+// RecordReader.restore_state for mid-epoch resume.
+void rio_skip(void *h, uint64_t n) {
+  auto *r = (Reader *)h;
+  {
+    std::lock_guard<std::mutex> g(r->q_mu);
+    r->next_delivered += n;
+    for (auto it = r->queue.begin(); it != r->queue.end();) {
+      if (it->first < r->next_delivered) it = r->queue.erase(it);
+      else ++it;
+    }
+  }
+  {
+    std::lock_guard<std::mutex> g(r->idx_mu);
+    if (r->next_batch < r->next_delivered) r->next_batch = r->next_delivered;
+  }
+  std::lock_guard<std::mutex> g(r->q_mu);
+  r->q_space.notify_all();  // the window moved; let waiting workers insert
+  r->q_ready.notify_all();  // and re-scan any consumer mid-wait
 }
 
 // Blocks until the IN-ORDER next batch is ready; copies it into out.

@@ -121,6 +121,8 @@ def _load_lib():
         lib.rio_next_batch.restype = ctypes.c_int
         lib.rio_next_batch.argtypes = [ctypes.c_void_p,
                                        ctypes.POINTER(ctypes.c_uint8)]
+        lib.rio_skip.restype = None
+        lib.rio_skip.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.rio_close.restype = None
         lib.rio_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -307,13 +309,12 @@ class RecordReader:
 
     def restore_state(self, state: Dict[str, int]) -> "RecordReader":
         """Fast-forward a FRESH reader (same paths/batch_size/shuffle_seed/
-        shard config) to a ``state()`` snapshot.  Each backend's order is deterministic
-        given the seed, so the resumed stream continues exactly.
-
-        numpy backend: O(1) counter math.  native backend: the C++ worker
-        pool owns the position, so the stream is replayed and discarded —
-        O(consumed) reads (sequential, no Python per record); for very
-        long runs prefer checkpointing at epoch boundaries.
+        shard config) to a ``state()`` snapshot.  Each backend's order is
+        deterministic given the seed, so the resumed stream continues
+        exactly — and both backends fast-forward in O(1): record
+        selection is a pure function of the batch counter (``rio_skip``
+        natively; permutation/position math in numpy), so nothing is read
+        or replayed no matter how long the original run was.
         """
         consumed = int(state["consumed"])
         if self._consumed:
@@ -321,15 +322,7 @@ class RecordReader:
                 "restore_state requires a fresh reader (already consumed "
                 f"{self._consumed} batches)")
         if self._handle is not None:
-            for _ in range(consumed):
-                buf = np.empty(self.batch_size * self.record_size,
-                               dtype=np.uint8)
-                rc = self._lib.rio_next_batch(
-                    self._handle,
-                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-                if rc != 0:
-                    raise RuntimeError("record replay failed during "
-                                       "restore_state")
+            self._lib.rio_skip(self._handle, consumed)
         else:
             bpe = self.batches_per_epoch
             full_epochs, rem = divmod(consumed, bpe)

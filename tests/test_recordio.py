@@ -238,3 +238,29 @@ def test_shard_args_validated(record_file):
     with pytest.raises(ValueError, match="batch_size"):
         # 37 // 8 shards = 4 records/shard < batch 8
         RecordReader(record_file, batch_size=8, num_shards=8)
+
+
+def test_native_restore_state_is_o1_for_huge_consumed(record_file):
+    """rio_skip fast-forwards without reading: restoring a position tens
+    of thousands of batches deep must be near-instant and still exact."""
+    import time
+
+    consumed = 50_000  # ~12.5k epochs of this fixture
+    r1 = RecordReader(record_file, batch_size=B, shuffle_seed=13,
+                      backend="native")
+    t0 = time.perf_counter()
+    r1.restore_state({"consumed": consumed})
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 2.0, f"restore took {elapsed:.2f}s — not O(1)"
+    got = [next(r1)["text"][:, 0].tolist() for _ in range(3)]
+    r1.close()
+
+    # exactness: numpy-independent check against a second native reader
+    # that reaches the same position by a smaller skip + real reads
+    r2 = RecordReader(record_file, batch_size=B, shuffle_seed=13,
+                      backend="native")
+    r2.restore_state({"consumed": consumed - 2})
+    next(r2), next(r2)
+    want = [next(r2)["text"][:, 0].tolist() for _ in range(3)]
+    assert got == want
+    r2.close()
