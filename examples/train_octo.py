@@ -144,6 +144,12 @@ def main():
                                        frames=frames, shuffle_seed=0)
         print(f"episode windows: {sampler.num_steps} steps, "
               f"{frames}-frame history")
+        if resume_step is not None:
+            ds = ckpt.restore_data_state(resume_step)
+            if ds is not None:
+                sampler.restore_state(ds)
+                print(f"resumed episode stream at batch {ds['consumed']}")
+        data_state_fn = sampler.state
 
         def episode_batches():
             for b in sampler:

@@ -108,7 +108,10 @@ class CheckpointManager:
         kept = {f"{s}.json" for s in self._mgr.all_steps()}
         for name in os.listdir(self._data_dir):
             if name.endswith(".json") and name not in kept:
-                os.remove(os.path.join(self._data_dir, name))
+                try:
+                    os.remove(os.path.join(self._data_dir, name))
+                except FileNotFoundError:
+                    pass  # another host pruned it first (shared ckpt dir)
 
     def restore_data_state(self, step: Optional[int] = None
                            ) -> Optional[dict]:

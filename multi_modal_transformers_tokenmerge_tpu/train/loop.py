@@ -25,14 +25,21 @@ def graceful_stop(signals=(signal.SIGTERM, signal.SIGINT)):
     """Returns a zero-arg callable that flips to True once any of
     ``signals`` arrives — pass it as ``fit(should_stop=...)`` so a
     preempted run (TPU pod eviction sends SIGTERM) checkpoints and
-    returns instead of dying mid-step.  Previously installed handlers
-    are chained, not replaced."""
+    returns instead of dying mid-step.
+
+    Previously installed handlers are chained, not replaced — EXCEPT
+    Python's default SIGINT handler, which raises KeyboardInterrupt and
+    would kill the run before the final checkpoint (the very thing this
+    exists to prevent).  Ctrl-C therefore stops gracefully; a SECOND
+    ctrl-C raises KeyboardInterrupt for users who want out now."""
     state = {"stop": False}
 
     def make_handler(prev):
         def handler(signum, frame):
+            if state["stop"] and signum == getattr(signal, "SIGINT", None):
+                raise KeyboardInterrupt  # second ctrl-C: stop immediately
             state["stop"] = True
-            if callable(prev):
+            if callable(prev) and prev is not signal.default_int_handler:
                 prev(signum, frame)
         return handler
 

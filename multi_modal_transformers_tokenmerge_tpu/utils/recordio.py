@@ -247,15 +247,18 @@ class RecordReader:
                     for name, _, _ in self.schema}
         return {name: recs[name] for name, _, _ in self.schema}
 
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        """THE epoch->order function: restore_state's exact-continuation
+        guarantee depends on it being the single source of truth."""
+        if self.shuffle_seed is not None:
+            rng = np.random.default_rng((self.shuffle_seed or 0) + epoch)
+            return rng.permutation(self.num_records)
+        return np.arange(self.num_records)
+
     def _next_numpy(self) -> np.ndarray:
         if self._perm is None or self._pos + self.batch_size > (
                 self.batches_per_epoch * self.batch_size):
-            rng = (np.random.default_rng(
-                (self.shuffle_seed or 0) + self._epoch)
-                if self.shuffle_seed is not None else None)
-            self._perm = (rng.permutation(self.num_records)
-                          if rng is not None
-                          else np.arange(self.num_records))
+            self._perm = self._epoch_perm(self._epoch)
             self._epoch += 1
             self._pos = 0
         base = self.shard_id * self._shard_span
@@ -269,13 +272,15 @@ class RecordReader:
             self._mm = [np.memmap(p, dtype=np.uint8, mode="r")
                         for p in self.paths]
         rs = self.record_size
+        # vectorized file routing: one searchsorted per batch, not per
+        # record (this is the training hot path)
+        fs = np.searchsorted(self._cum_records, idx, side="right") - 1
+        offs = (np.asarray(self._data_offs)[fs]
+                + (idx - self._cum_records[fs]) * rs)
         buf = np.empty(self.batch_size * rs, dtype=np.uint8)
-        for i, rec in enumerate(idx):
-            f = int(np.searchsorted(self._cum_records, int(rec),
-                                    side="right")) - 1
-            off = self._data_offs[f] + (int(rec)
-                                        - int(self._cum_records[f])) * rs
-            buf[i * rs:(i + 1) * rs] = self._mm[f][off:off + rs]
+        for i in range(self.batch_size):
+            off = int(offs[i])
+            buf[i * rs:(i + 1) * rs] = self._mm[int(fs[i])][off:off + rs]
         return buf
 
     def __iter__(self):
@@ -324,14 +329,8 @@ class RecordReader:
         if self._handle is not None:
             self._lib.rio_skip(self._handle, consumed)
         else:
-            bpe = self.batches_per_epoch
-            full_epochs, rem = divmod(consumed, bpe)
-            rng = (np.random.default_rng(
-                (self.shuffle_seed or 0) + full_epochs)
-                if self.shuffle_seed is not None else None)
-            self._perm = (rng.permutation(self.num_records)
-                          if rng is not None
-                          else np.arange(self.num_records))
+            full_epochs, rem = divmod(consumed, self.batches_per_epoch)
+            self._perm = self._epoch_perm(full_epochs)
             self._epoch = full_epochs + 1
             self._pos = rem * self.batch_size
         self._consumed = consumed
