@@ -625,6 +625,28 @@ def bench_train(cfg, images_stack, text, peak):
         }
         log(f"[bench] train cached-text: {1.0/sec_ct:.1f} steps/s "
             f"({sec_ct*1e3:.1f} ms/step, {sec/sec_ct:.2f}x vs ids)")
+
+    if (jax.default_backend() == "tpu"
+            and getattr(cfg.images.resnet, "pool_vjp", "xla") == "xla"):
+        # A/B the Pallas max-pool backward (ops/pool.py) in the SAME
+        # session: select_and_scatter is ~19% of this backward and the
+        # config default ('xla', round-2 rule: no unmeasured perf
+        # defaults) flips only on this recorded end-to-end number
+        cfg_p = cfg.replace(images=cfg.images.replace(
+            resnet=cfg.images.resnet.replace(pool_vjp="pallas")))
+        model_p = Octo(cfg_p)
+        state_p = create_train_state(
+            model_p, variables, tx,
+            rngs={"dropout": keys[2], "patch_encoding": keys[1],
+                  "diffusion": keys[3]})
+        sec_p = measure(make_loop(raw_step),
+                        (state_p, text, images_stack, actions))
+        out["pool_vjp_pallas"] = {
+            "ms_per_step": round(sec_p * 1e3, 3),
+            "speedup_vs_xla_vjp": round(sec / sec_p, 3),
+        }
+        log(f"[bench] train pool_vjp=pallas: {sec_p*1e3:.1f} ms/step "
+            f"({sec/sec_p:.2f}x vs select_and_scatter)")
     return out
 
 
