@@ -3,6 +3,7 @@
     python -m multi_modal_transformers_tokenmerge_tpu info
     python -m multi_modal_transformers_tokenmerge_tpu layout "<sequence dsl>" [compression]
     python -m multi_modal_transformers_tokenmerge_tpu config <name> [overrides...]
+    python -m multi_modal_transformers_tokenmerge_tpu data <file.rec> [more.rec...]
 """
 
 import json
@@ -54,7 +55,34 @@ def main(argv=None):
         print(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
         return 0
 
-    print(f"unknown command {cmd!r}; one of: info, layout, config",
+    if cmd == "data":
+        if not argv:
+            print("usage: ... data <file.rec> [more.rec ...]",
+                  file=sys.stderr)
+            return 2
+        from .utils.recordio import _read_header
+        total, rec_size, schema0 = 0, None, None
+        files = []
+        for path in argv:
+            schema, rs, num, _ = _read_header(path)
+            if schema0 is None:
+                schema0, rec_size = schema, rs
+            compatible = schema == schema0 and rs == rec_size
+            files.append({"path": path, "records": num,
+                          "bytes_per_record": rs,
+                          "compatible_with_first": compatible})
+            total += num
+        print(json.dumps({
+            "files": files,
+            "total_records": total,
+            "schema": [{"field": n, "shape": list(s), "dtype": d}
+                       for n, s, d in schema0],
+            "is_episode_file": {"image", "action", "text_ids", "step"
+                                }.issubset({n for n, _, _ in schema0}),
+        }, indent=2))
+        return 0
+
+    print(f"unknown command {cmd!r}; one of: info, layout, config, data",
           file=sys.stderr)
     return 2
 

@@ -144,3 +144,28 @@ def test_time_fn_harness():
     stats = time_fn(f, jnp.ones((8, 8)), iters=5, warmup=1)
     assert set(stats) >= {"p50", "p90", "p99", "mean"}
     assert stats["p50"] > 0 and stats["p99"] >= stats["p50"]
+
+
+def test_cli_data_subcommand(tmp_path, capsys):
+    """`python -m ... data file.rec` reports records/schema/compatibility."""
+    import json
+
+    import numpy as np
+
+    from multi_modal_transformers_tokenmerge_tpu.__main__ import main
+    from multi_modal_transformers_tokenmerge_tpu.utils.recordio import (
+        write_records)
+
+    a = str(tmp_path / "a.rec")
+    b = str(tmp_path / "b.rec")
+    write_records(a, ({"x": np.zeros((2,), np.float32)} for _ in range(5)))
+    write_records(b, ({"y": np.zeros((3,), np.int32)} for _ in range(7)))
+    assert main(["data", a, b]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["total_records"] == 12
+    assert out["files"][0]["compatible_with_first"] is True
+    assert out["files"][1]["compatible_with_first"] is False
+    assert out["schema"] == [{"field": "x", "shape": [2],
+                              "dtype": "float32"}]
+    assert out["is_episode_file"] is False
+    assert main(["data"]) == 2
