@@ -19,21 +19,39 @@ __all__ = ["CheckpointManager"]
 
 
 class CheckpointManager:
-    """Thin wrapper over orbax CheckpointManager for OctoTrainState."""
+    """Thin wrapper over orbax CheckpointManager for OctoTrainState.
+
+    ``best_metric`` switches retention from newest-N to BEST-N: saves
+    carry ``metrics`` dicts (fit threads its eval results through) and
+    orbax keeps the ``max_to_keep`` checkpoints with the lowest
+    (``best_mode='min'``, e.g. eval loss) or highest (``'max'``) value.
+    Saves made before any metric exists are treated as worst-possible so
+    real measurements displace them.
+    """
 
     def __init__(self, directory: str, max_to_keep: int = 3,
-                 save_interval_steps: int = 1):
+                 save_interval_steps: int = 1,
+                 best_metric: Optional[str] = None,
+                 best_mode: str = "min"):
+        self._best_metric = best_metric
+        self._best_mode = best_mode
+        kw = {}
+        if best_metric is not None:
+            worst = float("inf") if best_mode == "min" else float("-inf")
+            kw = dict(best_fn=lambda m: (m or {}).get(best_metric, worst),
+                      best_mode=best_mode)
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 save_interval_steps=save_interval_steps,
                 enable_async_checkpointing=True,
+                **kw,
             ),
         )
 
-    def save(self, step: int, state, data_state: Optional[dict] = None
-             ) -> bool:
+    def save(self, step: int, state, data_state: Optional[dict] = None,
+             metrics: Optional[dict] = None) -> bool:
         """Async save; returns whether a save was started.
 
         ``data_state`` (a small JSON-serializable dict, e.g.
@@ -58,7 +76,8 @@ class CheckpointManager:
             lambda x: jnp.array(x, copy=True)
             if isinstance(x, jax.Array) and x.is_fully_addressable else x,
             state)
-        started = self._mgr.save(step, args=ocp.args.StandardSave(snapshot))
+        started = self._mgr.save(step, args=ocp.args.StandardSave(snapshot),
+                                 metrics=metrics)
         if data_state is not None and started:
             self._write_data_state(step, data_state)
         return started

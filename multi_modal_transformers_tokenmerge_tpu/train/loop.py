@@ -73,7 +73,10 @@ def fit(state: OctoTrainState,
 
     ``eval_fn(state) -> dict`` runs every ``eval_every`` steps (when both
     are set) and its results are logged under an ``eval/`` prefix — pair
-    it with :func:`evaluate` for held-out loss.
+    it with :func:`evaluate` for held-out loss.  The latest eval result
+    also rides along with every checkpoint save, so a
+    ``CheckpointManager(best_metric='loss')`` retains the BEST
+    checkpoints rather than the newest.
 
     ``text_input='embeddings'``: batches carry precomputed (B, T, E) text
     embeddings (utils.data.cache_text_embeddings) instead of ids — the
@@ -96,6 +99,7 @@ def fit(state: OctoTrainState,
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     it = iter(batches)
+    last_eval = None
     for i in range(num_steps):
         batch = next(it)
         if sharding is not None:
@@ -114,18 +118,21 @@ def fit(state: OctoTrainState,
                 state = state.replace(metrics=state.metrics.zeros_like())
         if eval_fn is not None and eval_every and (i + 1) % eval_every == 0:
             ev = eval_fn(state)
+            last_eval = {k: float(v) for k, v in ev.items()}
             if logger is not None:
-                logger.log({f"eval/{k}": float(v) for k, v in ev.items()},
+                logger.log({f"eval/{k}": v for k, v in last_eval.items()},
                            step=int(state.step))
         if checkpointer is not None and (i + 1) % checkpoint_every == 0:
             checkpointer.save(int(state.step), state,
-                              data_state=_maybe(data_state_fn))
+                              data_state=_maybe(data_state_fn),
+                              metrics=last_eval)
         if should_stop is not None and should_stop():
             break
 
     if checkpointer is not None:
         checkpointer.save(int(state.step), state,
-                          data_state=_maybe(data_state_fn))
+                          data_state=_maybe(data_state_fn),
+                          metrics=last_eval)
         checkpointer.wait()
     return state
 

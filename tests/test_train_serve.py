@@ -688,3 +688,38 @@ def test_fit_graceful_stop_checkpoints_and_returns(tmp_path, setup):
         assert chained == [sig.SIGUSR1]  # previous handler still ran
     finally:
         sig.signal(sig.SIGUSR1, prev)
+
+
+def test_checkpoint_best_metric_retention(tmp_path, setup):
+    """best_metric retention keeps the lowest-loss checkpoints, metricless
+    saves rank worst, and fit threads its eval results through."""
+    cfg, model, variables, keys, text, images, actions = setup
+    state = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+
+    mgr = CheckpointManager(str(tmp_path / "best"), max_to_keep=2,
+                            best_metric="loss")
+    for step, loss in [(1, 5.0), (2, 1.0), (3, 3.0), (4, 2.0)]:
+        assert mgr.save(step, state, metrics={"loss": loss})
+    mgr.wait()
+    assert sorted(mgr._mgr.all_steps()) == [2, 4]  # two lowest losses
+    mgr.close()
+
+    # through fit: eval every 2 steps, checkpoint every 2 steps — each
+    # save carries the latest eval dict (ascending fake loss, so the
+    # EARLIEST checkpoints are retained as best)
+    evals = iter([{"loss": 1.0}, {"loss": 2.0}, {"loss": 3.0}])
+    mgr2 = CheckpointManager(str(tmp_path / "best2"), max_to_keep=1,
+                             best_metric="loss")
+    state2 = create_train_state(
+        model, _fresh_variables(variables), optax.adam(1e-3),
+        rngs={"dropout": keys[2], "patch_encoding": keys[1]})
+    state2 = fit(state2,
+                 iter(lambda: (text, images, actions), None),
+                 head="continuous", num_steps=6,
+                 checkpointer=mgr2, checkpoint_every=2,
+                 eval_fn=lambda s: next(evals), eval_every=2)
+    mgr2.wait()
+    assert sorted(mgr2._mgr.all_steps()) == [2]  # lowest eval loss wins
+    mgr2.close()
