@@ -196,7 +196,12 @@ class RecordReader:
         self.shuffle_seed = shuffle_seed
         self.copy_fields = copy_fields
         if backend == "auto":
-            backend = "native" if _native_available() else "numpy"
+            # the native worker pool needs cores to parallelize preads;
+            # on 1-2 core hosts the single-copy memmap path measures ~2x
+            # faster (benchmarks/exp_reader_throughput.py) — real TPU
+            # hosts have dozens of cores and take the native path
+            backend = ("native" if _native_available()
+                       and (os.cpu_count() or 1) >= 4 else "numpy")
         self.backend = backend
         self._handle = None
         if backend == "native":
