@@ -98,8 +98,11 @@ def fit(state: OctoTrainState,
             else make_train_step(head, text_input=text_input))
     sharding = batch_sharding(mesh) if mesh is not None else None
 
+    import time as _time
+
     it = iter(batches)
     last_eval = None
+    t_last_log = _time.perf_counter()
     for i in range(num_steps):
         batch = next(it)
         if sharding is not None:
@@ -112,7 +115,14 @@ def fit(state: OctoTrainState,
         if logger is not None and (i + 1) % log_every == 0:
             metrics = jax.device_get(state.metrics.compute())
             step_no = int(state.step)
-            logger.log({**metrics, "last_loss": float(loss)}, step=step_no)
+            now = _time.perf_counter()
+            # wall-clock throughput since the previous log (the device
+            # sync above makes the window boundary honest); first window
+            # includes compile time — read the steady-state from window 2+
+            sps = log_every / max(now - t_last_log, 1e-9)
+            t_last_log = now
+            logger.log({**metrics, "last_loss": float(loss),
+                        "steps_per_sec": round(sps, 2)}, step=step_no)
             if reset_metrics_on_log and (i + 1) < num_steps:
                 # same declaration -> same treedef -> no re-jit of step
                 state = state.replace(metrics=state.metrics.zeros_like())
