@@ -264,3 +264,55 @@ def test_native_restore_state_is_o1_for_huge_consumed(record_file):
     want = [next(r2)["text"][:, 0].tolist() for _ in range(3)]
     assert got == want
     r2.close()
+
+
+@pytest.mark.slow
+def test_native_shard_invariants_fuzz(tmp_path):
+    """Property fuzz over the C++ cycle-walking permutation: for random
+    (file split, batch size, shard count, seed), every epoch's shard
+    streams are (a) in-range, (b) duplicate-free, (c) mutually disjoint,
+    (d) exactly span//batch*batch records each, and (e) reproducible
+    given the seed."""
+    rng = np.random.default_rng(0xF00D)
+    for case in range(6):
+        n_files = int(rng.integers(1, 4))
+        sizes = [int(rng.integers(5, 40)) for _ in range(n_files)]
+        total = sum(sizes)
+        paths, start = [], 0
+        for j, n in enumerate(sizes):
+            p = str(tmp_path / f"f{case}_{j}.rec")
+            write_records(p, ({"v": np.full((1,), start + i, np.int64)}
+                              for i in range(n)))
+            paths.append(p)
+            start += n
+        num_shards = int(rng.integers(1, 4))
+        span = total // num_shards
+        batch = int(rng.integers(1, max(span, 2)))
+        if batch > span:
+            continue
+        seed = int(rng.integers(0, 2**31))
+
+        def epoch_stream(shard, epochs=2):
+            r = RecordReader(paths, batch_size=batch, shuffle_seed=seed,
+                             backend="native", shard_id=shard,
+                             num_shards=num_shards)
+            out = [[] for _ in range(epochs)]
+            for e in range(epochs):
+                for _ in range(r.batches_per_epoch):
+                    out[e].extend(next(r)["v"][:, 0].tolist())
+            r.close()
+            return out
+
+        streams = [epoch_stream(s) for s in range(num_shards)]
+        for e in range(2):
+            all_recs = []
+            for s in range(num_shards):
+                recs = streams[s][e]
+                assert len(recs) == (span // batch) * batch
+                assert all(0 <= v < total for v in recs)
+                assert len(set(recs)) == len(recs), (case, s, e)
+                all_recs.extend(recs)
+            assert len(set(all_recs)) == len(all_recs), (case, e)
+        # same seed -> identical stream; epochs differ (when shuffling
+        # has room to differ)
+        assert epoch_stream(0) == streams[0]
