@@ -54,6 +54,11 @@ def main():
     p.add_argument("--recordio", default=None, metavar="FILE",
                    help="stream batches from FILE via the native record "
                         "loader (synthetic data written there on first use)")
+    p.add_argument("--shards", type=int, default=None,
+                   help="shard the record stream across N hosts (default: "
+                        "jax.process_count()); this process reads shard "
+                        "--shard-id (default: jax.process_index())")
+    p.add_argument("--shard-id", type=int, default=None)
     p.add_argument("--episodes", default=None, metavar="FILE",
                    help="stream frame-history windows from an EPISODE "
                         "file (utils/episodes.py; synthetic episodes "
@@ -174,10 +179,16 @@ def main():
                         vocab_size=cfg.text.vocab_size), n))
             wrote = write_records(args.recordio, examples)
             print(f"wrote {wrote} synthetic records to {args.recordio}")
+        num_shards = args.shards or jax.process_count()
+        shard_id = (args.shard_id if args.shard_id is not None
+                    else jax.process_index())
         reader = RecordReader(args.recordio, batch_size=args.batch,
-                              shuffle_seed=0)
+                              shuffle_seed=0, shard_id=shard_id,
+                              num_shards=num_shards)
         print(f"record loader: backend={reader.backend}, "
-              f"{reader.num_records} records")
+              f"{reader.num_records} records"
+              + (f", shard {shard_id}/{num_shards}"
+                 if num_shards > 1 else ""))
         if resume_step is not None:
             ds = ckpt.restore_data_state(resume_step)
             if ds is not None:
