@@ -32,12 +32,17 @@ def graceful_stop(signals=(signal.SIGTERM, signal.SIGINT)):
     would kill the run before the final checkpoint (the very thing this
     exists to prevent).  Ctrl-C therefore stops gracefully; a SECOND
     ctrl-C raises KeyboardInterrupt for users who want out now."""
-    state = {"stop": False}
+    state = {"stop": False, "sigints": 0}
 
     def make_handler(prev):
         def handler(signum, frame):
-            if state["stop"] and signum == getattr(signal, "SIGINT", None):
-                raise KeyboardInterrupt  # second ctrl-C: stop immediately
+            if signum == getattr(signal, "SIGINT", None):
+                # count SIGINTs specifically: a SIGTERM must not arm the
+                # escape hatch, or preemption + one ctrl-C would kill the
+                # run before its final checkpoint
+                state["sigints"] += 1
+                if state["sigints"] >= 2:
+                    raise KeyboardInterrupt  # second ctrl-C: out now
             state["stop"] = True
             if callable(prev) and prev is not signal.default_int_handler:
                 prev(signum, frame)

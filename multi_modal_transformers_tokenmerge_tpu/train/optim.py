@@ -107,6 +107,11 @@ def make_optimizer(peak_lr: float = 3e-4,
     chain.append(optax.adamw(schedule, b1=b1, b2=b2,
                              weight_decay=weight_decay, mask=mask))
     tx = optax.chain(*chain)
+    if frozen_prefixes and params is None:
+        # silently skipping would leave the "frozen" tower with optimizer
+        # state AND weight decay shrinking it every step
+        raise ValueError("frozen_prefixes requires params (the masks are "
+                         "built from the param tree)")
     if params is not None and frozen_prefixes:
         tx = mask_frozen(tx, params, frozen_prefixes)
     if skip_nonfinite_steps > 0:

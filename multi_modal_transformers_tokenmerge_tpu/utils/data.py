@@ -102,7 +102,9 @@ def cache_text_embeddings(batch_iter: Iterable, model, variables,
             else:
                 emb = np.asarray(encode(variables, ids_np))
                 for k, row in zip(keys, emb):
-                    cache[k] = row
+                    # copy: a row VIEW would pin the whole (B, T, E) batch
+                    # array via .base, inflating the cache bound by ~B x
+                    cache[k] = np.array(row)
                     cache.move_to_end(k)
                 while len(cache) > max_cache_rows:
                     cache.popitem(last=False)

@@ -105,16 +105,16 @@ class EpisodeWindowSampler:
         self._mm = np.memmap(path, dtype=np.uint8, mode="r",
                              offset=data_off,
                              shape=(self.num_steps, rec_size))
-        # per-step window base: clamp history at the episode start.
-        # step[i] is the index within its episode, so the episode start of
-        # record i is i - step[i]; frame f of the window for step i is
-        # max(i - (F-1) + f, episode_start).
+        # per-step episode start, for clamping history at episode
+        # boundaries: step[i] is the index within its episode, so the
+        # episode start of record i is i - step[i].  Windows are derived
+        # PER BATCH from this vector (frame f of step i's window is
+        # max(i - (F-1) + f, start[i])) — a full (num_steps, F) index
+        # table would scale host RAM with dataset size, not batch size.
         step = np.array(self._mm.view(self._rec_dtype)["step"]
                         ).reshape(self.num_steps).astype(np.int64)
-        start = np.arange(self.num_steps, dtype=np.int64) - step
-        offs = np.arange(frames, dtype=np.int64) - (frames - 1)
-        idx = np.arange(self.num_steps, dtype=np.int64)[:, None] + offs
-        self._window_idx = np.maximum(idx, start[:, None])  # (num, F)
+        self._ep_start = np.arange(self.num_steps, dtype=np.int64) - step
+        self._offs = np.arange(frames, dtype=np.int64) - (frames - 1)
         self._epoch = 0
         self._pos = 0
         self._perm = None
@@ -144,7 +144,8 @@ class EpisodeWindowSampler:
         self._pos += self.batch_size
         self._consumed += 1
 
-        frame_idx = self._window_idx[sel]                # (B, F)
+        frame_idx = np.maximum(sel[:, None] + self._offs,
+                               self._ep_start[sel][:, None])  # (B, F)
         recs = np.ascontiguousarray(
             self._mm[frame_idx.ravel()]).view(self._rec_dtype).reshape(
             self.batch_size, self.frames)

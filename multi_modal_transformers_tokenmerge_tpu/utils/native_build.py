@@ -29,7 +29,9 @@ def toolchain_available() -> bool:
 def build_native_lib(src: str, so: str,
                      extra_flags: Sequence[str] = ()) -> ctypes.CDLL:
     """Compile ``src`` -> ``so`` if the object is missing or stale, then
-    load it.  Safe to call concurrently (per-target lock)."""
+    load it.  Safe to call concurrently across threads (per-target lock)
+    AND processes (fcntl file lock + compile-to-temp-then-rename, so a
+    concurrent ``ctypes.CDLL`` can never see a half-written object)."""
     with _locks_guard:
         lock = _locks.setdefault(so, threading.Lock())
     with lock:
@@ -38,13 +40,25 @@ def build_native_lib(src: str, so: str,
             cxx = which("g++") or which("c++")
             if cxx is None:
                 raise RuntimeError("no C++ compiler available")
-            try:
-                subprocess.run(
-                    [cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
-                     *extra_flags, src, "-o", so],
-                    check=True, capture_output=True)
-            except subprocess.CalledProcessError as e:
-                raise RuntimeError(
-                    f"native build of {os.path.basename(src)} failed:\n"
-                    f"{e.stderr.decode(errors='replace')}") from e
+            import fcntl
+            with open(so + ".lock", "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                # another process may have built it while we waited
+                if not os.path.exists(so) or (os.path.getmtime(so)
+                                              < os.path.getmtime(src)):
+                    tmp = f"{so}.{os.getpid()}.tmp"
+                    try:
+                        subprocess.run(
+                            [cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
+                             *extra_flags, src, "-o", tmp],
+                            check=True, capture_output=True)
+                        os.replace(tmp, so)  # atomic publish
+                    except subprocess.CalledProcessError as e:
+                        raise RuntimeError(
+                            f"native build of {os.path.basename(src)} "
+                            f"failed:\n"
+                            f"{e.stderr.decode(errors='replace')}") from e
+                    finally:
+                        if os.path.exists(tmp):
+                            os.remove(tmp)
         return ctypes.CDLL(so)

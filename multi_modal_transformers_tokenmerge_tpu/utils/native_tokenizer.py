@@ -78,7 +78,11 @@ class NativeWordTokenizer:
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         n = len(texts)
         out = np.zeros((n, self.max_length), dtype=np.int32)
-        arr = (ctypes.c_char_p * n)(*[t.encode("utf-8") for t in texts])
+        # lowercase HERE with Python's full-Unicode str.lower(): the C++
+        # side's std::tolower is ASCII-only, which would diverge from
+        # WordTokenizer on non-ASCII text (e.g. 'É' -> unk)
+        arr = (ctypes.c_char_p * n)(
+            *[t.lower().encode("utf-8") for t in texts])
         self._lib.tok_encode_batch(
             self._handle, arr, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

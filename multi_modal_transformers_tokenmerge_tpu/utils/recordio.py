@@ -57,7 +57,12 @@ def write_records(path: str, examples: Iterable[Dict[str, np.ndarray]],
     it = iter(examples)
     first = None
     if schema is None:
-        first = next(it)
+        try:
+            first = next(it)
+        except StopIteration:
+            raise ValueError(
+                "write_records: no examples and no schema to infer one "
+                "from") from None
         schema = record_schema_of(first)
     blob = json.dumps(schema).encode("utf-8")
     rec_size = _record_nbytes(schema)
@@ -227,6 +232,7 @@ class RecordReader:
         self._perm = None
         self._mm = None  # lazy memmaps for the numpy backend
         self._consumed = 0  # batches handed out (for state()/restore_state)
+        self._closed = False
 
     @property
     def batches_per_epoch(self) -> int:
@@ -292,6 +298,12 @@ class RecordReader:
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
+        if self._closed:
+            # without this, a closed native reader would silently FALL
+            # BACK to the numpy branch and re-serve epoch 0 in a
+            # different order (e.g. a prefetch thread draining after
+            # cleanup)
+            raise StopIteration
         if self._handle is not None:
             buf = np.empty(self.batch_size * self.record_size,
                            dtype=np.uint8)
@@ -342,10 +354,11 @@ class RecordReader:
         return self
 
     def close(self):
+        self._closed = True
         if self._handle is not None:
             self._lib.rio_close(self._handle)
             self._handle = None
-        self._mm = None  # drop the memmap (and its file descriptor)
+        self._mm = None  # drop the memmaps (and their file descriptors)
 
     def __del__(self):
         try:

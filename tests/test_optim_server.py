@@ -278,3 +278,11 @@ def test_policy_server_mixed_instructions(engine):
         assert results[i] is not None
         np.testing.assert_allclose(results[i], want[i], rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_make_optimizer_frozen_prefixes_require_params():
+    """Silently skipping the freeze mask would leave the 'frozen' tower
+    decaying every step — fail loudly instead."""
+    with pytest.raises(ValueError, match="frozen_prefixes requires"):
+        make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=10,
+                       frozen_prefixes=("text_encoder",))

@@ -316,3 +316,20 @@ def test_native_shard_invariants_fuzz(tmp_path):
         # same seed -> identical stream; epochs differ (when shuffling
         # has room to differ)
         assert epoch_stream(0) == streams[0]
+
+
+def test_closed_reader_raises_not_numpy_fallback(record_file):
+    """A closed native reader must stop, not silently fall back to the
+    numpy branch and re-serve epoch 0 (prefetch threads drain after
+    cleanup)."""
+    r = RecordReader(record_file, batch_size=B, shuffle_seed=1,
+                     backend="native")
+    next(r)
+    r.close()
+    with pytest.raises(StopIteration):
+        next(r)
+
+
+def test_write_records_empty_without_schema_raises(tmp_path):
+    with pytest.raises(ValueError, match="no examples"):
+        write_records(str(tmp_path / "e.rec"), [])

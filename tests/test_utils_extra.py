@@ -169,3 +169,19 @@ def test_cli_data_subcommand(tmp_path, capsys):
                               "dtype": "float32"}]
     assert out["is_episode_file"] is False
     assert main(["data"]) == 2
+
+
+def test_native_tokenizer_unicode_lower_matches_python():
+    """Non-ASCII case folding: the wrapper lowers with str.lower() before
+    crossing into C++ (whose tolower is ASCII-only), so both tokenizers
+    emit the same ids for accented text."""
+    from multi_modal_transformers_tokenmerge_tpu.modules.text import (
+        WordTokenizer)
+    from multi_modal_transformers_tokenmerge_tpu.utils.native_tokenizer \
+        import NativeWordTokenizer
+
+    corpus = ["déplacer le bloc rouge"]
+    py = WordTokenizer.from_corpus(corpus, max_length=8)
+    nat = NativeWordTokenizer.from_corpus(corpus, max_length=8)
+    for text in ["Déplacer le BLOC", "déplacer le bloc rouge"]:
+        assert nat.encode(text) == py.encode(text), text
