@@ -228,8 +228,10 @@ class ResNetV2Embedder(nn.Module):
                       param_dtype=self.param_dtype, name="input_conv")(xt)
         pool_vjp = c.pool_vjp
         if pool_vjp == "auto":
-            pool_vjp = ("pallas" if jax.default_backend() == "tpu"
-                        else "xla")
+            # Measured on v5e (bench.py pool_vjp A/B): XLA's
+            # select_and_scatter VJP beats the Pallas backward kernel at
+            # embedder shapes (1.49 vs 2.35 ms bf16) — 'auto' = 'xla'.
+            pool_vjp = "xla"
         if pool_vjp == "pallas":
             y = max_pool_hwcn(
                 y, c.pool_window, c.pool_stride, vjp="pallas",

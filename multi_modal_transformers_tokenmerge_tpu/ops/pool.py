@@ -13,6 +13,16 @@ of their 9 shifted full-size slices materializes in HBM.  Inside a Pallas
 kernel the 9 window shifts are VMEM reads, so the HBM traffic is exactly
 ``read x + read g + write dx`` (~0.37 ms at octo_base shapes on v5e).
 
+MEASURED OUTCOME (v5e, grad of sum at (23,23,64,1600)): the kernel is
+bit-exact vs select_and_scatter but SLOWER — 2.35 vs 1.49 ms bf16, 2.02
+vs 1.98 ms f32 — ~6x off its traffic bound.  The per-(C,N)-block grid
+gathers 529 non-contiguous (sublane,lane) tiles per block from the
+(H,W,C,N) HBM layout, and Pass B's 9 dependent read-modify-writes
+serialize; neither cost shows in interpret mode.  ``pool_vjp`` therefore
+DEFAULTS TO 'xla' (core/config.py) and 'auto' resolves to 'xla'; the
+kernel is kept as a measured negative result and for the bench A/B
+(bench.py records it each round).
+
 Semantics: gradient routes to the FIRST max position in raster order
 within each window — identical to XLA's select_and_scatter tie handling
 on TPU (verified on tie-heavy bf16 data: tests/test_pool_vjp.py compares
@@ -31,6 +41,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 __all__ = ["max_pool_hwcn"]
@@ -55,15 +66,18 @@ def _pool_bwd_kernel(x_ref, g_ref, dx_ref, *, wh: int, ww: int):
     out_shape = (oh, ow) + x.shape[2:]
 
     # Pass A: running max + first-match argmax (strict > keeps the FIRST
-    # raster-order winner).  The window index 0..wh*ww-1 is stored in the
-    # input dtype — small ints are exact in bf16/f32.
-    m = jnp.full(out_shape, -jnp.inf, x.dtype)
-    amax = jnp.zeros(out_shape, x.dtype)
+    # raster-order winner).  Comparisons run in f32 — Mosaic rejects cmpf
+    # on packed bf16 vectors ("Target does not support this comparison"
+    # on v5e) — with the cast done per window slice so only the running
+    # max/argmax are f32-materialized, not a full f32 copy of x.
+    m = jnp.full(out_shape, -jnp.inf, jnp.float32)
+    amax = jnp.zeros(out_shape, jnp.float32)
     k = 0
     for di in range(wh):
         for dj in range(ww):
             xs = jax.lax.slice(x, (di, dj, 0, 0),
-                               (di + oh, dj + ow) + x.shape[2:])
+                               (di + oh, dj + ow) + x.shape[2:]
+                               ).astype(jnp.float32)
             gt = xs > m
             amax = jnp.where(gt, jnp.full_like(amax, float(k)), amax)
             m = jnp.where(gt, xs, m)
@@ -85,8 +99,11 @@ def _pool_bwd_kernel(x_ref, g_ref, dx_ref, *, wh: int, ww: int):
 
 
 def _pick_blocks(c: int, n: int, dtype) -> tuple:
-    """(C, N) block sizes: one native sublane tile of C, one lane tile of
-    N — keeps the per-block VMEM working set (~5 arrays) under ~10 MB."""
+    """(C, N) block sizes: one native sublane tile of C, a lane tile of
+    N.  The last block dim must be 128-divisible (or the full array
+    dim), so VMEM is managed via the C (sublane) block only; the
+    pallas_call sets vmem_limit_bytes to cover the double-buffered
+    blocks plus the kernel's f32 running max/argmax temporaries."""
     sub = 16 if dtype == jnp.bfloat16 else 8
     return min(c, sub), min(n, 128)
 
@@ -107,6 +124,12 @@ def _pool_bwd_pallas(x, g, window, interpret):
         ],
         out_specs=pl.BlockSpec((h, w, bc, bn), lambda i, j: (0, 0, i, j)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        # f32 blocks at C=8 plus the double-buffered pipeline sit just
+        # over the default 16 MB scoped-vmem budget; size the limit to
+        # the actual working set instead (x/g/dx blocks double-buffered
+        # + f32 running max/argmax), capped well under the 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, g)
 
