@@ -964,7 +964,7 @@ def wait_for_backend(max_wait_s: float = None):
 
     max_wait_s = float(os.environ.get("BENCH_WAIT_S", max_wait_s or 1800))
     if max_wait_s <= 0:
-        return False  # waiting disabled — don't even probe once
+        return True  # waiting disabled — proceed without probing
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
@@ -990,11 +990,44 @@ def wait_for_backend(max_wait_s: float = None):
         time.sleep(60)
 
 
+def emit_stale_recorded():
+    """Last-resort output when the device backend never answers.
+
+    An in-process jax call on a dead axon tunnel hangs forever, so
+    proceeding would produce NO artifact at all.  Instead print the most
+    recent recorded on-hardware artifact for this mode, tagged with
+    explicit staleness provenance so the consumer knows it is a replay,
+    not a fresh measurement.  Returns False when no recorded artifact
+    exists (caller proceeds and takes its chances).
+    """
+    rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "benchmarks", "recorded")
+    mode = "decomp" if DECOMP else ("multicam" if MULTICAM else "headline")
+    try:
+        with open(os.path.join(rec, "LATEST.json")) as f:
+            name = json.load(f)[mode]
+        with open(os.path.join(rec, name)) as f:
+            best_payload = json.load(f)
+    except (OSError, ValueError, KeyError):
+        return False
+    if "metric" not in best_payload or "value" not in best_payload:
+        return False
+    best_payload["stale"] = True
+    best_payload["stale_reason"] = (
+        "TPU backend unreachable for the full BENCH_WAIT_S budget; "
+        "replaying the most recent recorded on-hardware artifact")
+    print(json.dumps(best_payload), flush=True)
+    return True
+
+
 if __name__ == "__main__":
     try:
-        wait_for_backend()
+        backend_up = wait_for_backend()
     except Exception as e:  # the wait is best-effort, never fatal
         log(f"[bench] backend wait skipped: {e}")
+        backend_up = True
+    if not backend_up and emit_stale_recorded():
+        sys.exit(0)
     if DECOMP:
         main_decomp()
     elif DEEP:
