@@ -48,6 +48,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the axon tunnel's dispatch latency makes cold
+# compiles expensive (minutes on a congested day); cached executables make
+# repeat bench runs cheap.  Safe to set post-import — the cache is consulted
+# at compile time, not at backend registration.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/repo/.jax_cache"))
+
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 N_INPUTS = 2

@@ -177,11 +177,14 @@ def convert_hf_t5_encoder_params(hf_params) -> dict:
 
     blocks = {
         "attn_norm": {"scale": stack(lambda l: l["0"]["layer_norm"]["weight"])},
+        # our attention computes q|k|v as one fused projection
+        # (modules/t5.py) — stack HF's separate kernels on a new axis 2,
+        # giving (layers, d_model, 3, heads, d_kv)
         "attn": {
-            name: {"kernel": stack(
-                lambda l, name=name: l["0"]["SelfAttention"][name]["kernel"]
-                .reshape(d_model, num_heads, d_kv))}
-            for name in ("q", "k", "v")
+            "qkv": {"kernel": jnp.stack(
+                [stack(lambda l, name=name: l["0"]["SelfAttention"][name]
+                       ["kernel"].reshape(d_model, num_heads, d_kv))
+                 for name in ("q", "k", "v")], axis=2)},
         },
         "mlp_norm": {"scale": stack(lambda l: l["1"]["layer_norm"]["weight"])},
         "wi": {"kernel": stack(

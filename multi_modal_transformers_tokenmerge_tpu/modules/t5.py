@@ -75,13 +75,16 @@ class T5SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, position_bias):  # x: (B, T, D); bias: (1, H, T, T)
-        dense = lambda feats, name: nn.DenseGeneral(
-            features=feats, axis=-1, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
         h, d = self.num_heads, self.d_kv
-        q = dense((h, d), "q")(x)  # T5 uses unscaled queries
-        k = dense((h, d), "k")(x)
-        v = dense((h, d), "v")(x)
+        # q|k|v as ONE 768x(3*h*d) matmul: at short sequences (T=16 -> 512
+        # rows at b32) the three separate projections each re-read the
+        # activations without amortizing their weight loads; the fused dot
+        # measured 1.09x on the tower (benchmarks/recorded/t5_qkv_r3.json).
+        # T5 uses unscaled queries, so q needs no 1/sqrt(d) epilogue.
+        qkv = nn.DenseGeneral(features=(3, h, d), axis=-1, use_bias=False,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="qkv")(x)  # (B, T, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)

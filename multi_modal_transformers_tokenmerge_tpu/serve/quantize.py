@@ -90,15 +90,19 @@ def quantize_t5_params(t5_params) -> dict:
     blocks = p["blocks"]
     d_model = p["token_embedding"]["embedding"].shape[1]
     d_ff = blocks["wi"]["kernel"].shape[-1]
-    h, dkv = blocks["attn"]["q"]["kernel"].shape[-2:]
+    # fused qkv kernel (modules/t5.py): (layers, d_model, 3, heads, d_kv);
+    # the quantized serving tree keeps q/k/v separate so t5_encode_int8's
+    # per-projection int8 matmuls (and their scales) are unchanged
+    h, dkv = blocks["attn"]["qkv"]["kernel"].shape[-2:]
 
     def per_layer(layer):
+        qkv = layer["attn"]["qkv"]["kernel"]
         return {
             "attn_norm": layer["attn_norm"]["scale"],
             "mlp_norm": layer["mlp_norm"]["scale"],
-            "q": _q2d(layer["attn"]["q"]["kernel"], d_model),
-            "k": _q2d(layer["attn"]["k"]["kernel"], d_model),
-            "v": _q2d(layer["attn"]["v"]["kernel"], d_model),
+            "q": _q2d(qkv[:, 0], d_model),
+            "k": _q2d(qkv[:, 1], d_model),
+            "v": _q2d(qkv[:, 2], d_model),
             "o": _q2d(layer["attn"]["o"]["kernel"], h * dkv),
             "wi": _q2d(layer["wi"]["kernel"], d_model),
             "wo": _q2d(layer["wo"]["kernel"], d_ff),
