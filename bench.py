@@ -52,9 +52,12 @@ import numpy as np
 # compiles expensive (minutes on a congested day); cached executables make
 # repeat bench runs cheap.  Safe to set post-import — the cache is consulted
 # at compile time, not at backend registration.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/repo/.jax_cache"))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache")))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -1,4 +1,12 @@
-"""Text tower: does fusing the q/k/v projections into one matmul pay?
+"""HISTORICAL RECORD (round 3) — the fused-qkv change this script
+motivated has SHIPPED in modules/t5.py (T5SelfAttention now computes one
+fused qkv projection), so ``fuse_params`` below no longer matches the
+module's param tree and the script exits early rather than measuring the
+fused module against itself.  The recorded decision artifact is
+benchmarks/recorded/t5_qkv_r3.json (1.09x tower-only).  Checkpoints from
+before the change are upgraded by ``compat.upgrade_fused_qkv_params``.
+
+Original question: does fusing the q/k/v projections into one matmul pay?
 
 At T=16 the tower's matmuls are short (M = B*T = 512 rows); each of the
 three 768x768 projections is a separate dot whose weight load (1.2 MB)
@@ -72,6 +80,14 @@ def fuse_params(pa):
 
 
 def main():
+    print("[t5-qkv] HISTORICAL: the fused-qkv projection shipped in "
+          "modules/t5.py (round 3); this A/B would now measure the fused "
+          "module against itself.  See "
+          "benchmarks/recorded/t5_qkv_r3.json for the recorded decision.")
+    return
+
+
+def _main_historical():
     peak, kind = device_peak_flops()
     log(f"[t5-qkv] device={kind} B={B} T={T} unroll={UNROLL}")
     cpu = jax.devices("cpu")[0]

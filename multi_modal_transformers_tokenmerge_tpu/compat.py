@@ -48,6 +48,7 @@ __all__ = [
     "merge_wavg", "compute_top_k_tokens", "image_to_patches",
     "mu_law_encoder", "assign_bins", "cosine_beta_schedule", "Octo",
     "convert_reference_octo_params", "convert_hf_t5_encoder_params",
+    "upgrade_fused_qkv_params",
 ]
 
 
@@ -201,6 +202,34 @@ def convert_hf_t5_encoder_params(hf_params) -> dict:
         "blocks": blocks,
         "final_norm": {"scale": enc["final_layer_norm"]["weight"]},
     }
+
+
+def upgrade_fused_qkv_params(params) -> dict:
+    """Upgrade a NATIVE param tree saved before the fused-qkv change
+    (round 3) to the current layout.
+
+    Older ``T5SelfAttention`` kept three separate projections
+    ``attn/{q,k,v}/kernel`` of shape ``([layers,] d_model, heads, d_kv)``;
+    the module now computes one fused projection ``attn/qkv/kernel`` of
+    shape ``([layers,] d_model, 3, heads, d_kv)`` (modules/t5.py).  This
+    walks the tree and stacks any ``{q, k, v, o}`` attention node's
+    kernels on the new axis; already-fused trees pass through unchanged,
+    so it is safe to call unconditionally on restore.
+    """
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if {"q", "k", "v", "o"} <= set(node) and "qkv" not in node:
+            fused = jnp.stack(
+                [node["q"]["kernel"], node["k"]["kernel"],
+                 node["v"]["kernel"]], axis=-3)
+            rest = {k: v for k, v in node.items()
+                    if k not in ("q", "k", "v")}
+            return {"qkv": {"kernel": fused}, **{k: walk(v)
+                                                 for k, v in rest.items()}}
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(dict(params))
 
 
 def _convert_resnet(resnet):

@@ -174,3 +174,40 @@ def test_reference_param_converter_handles_auto_numbered_names():
     import jax
     assert jax.tree.structure(a) == jax.tree.structure(b)
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(x, y), a, b)
+
+
+def test_upgrade_fused_qkv_params_roundtrip():
+    """Pre-round-3 checkpoints kept attn/{q,k,v}/kernel; the upgrader must
+    rebuild the fused attn/qkv/kernel exactly and pass fused trees through
+    unchanged (idempotence)."""
+    from multi_modal_transformers_tokenmerge_tpu.modules.t5 import (
+        T5EncoderStack)
+
+    model = T5EncoderStack(vocab_size=50, d_model=16, num_layers=2,
+                           num_heads=2, d_kv=8, d_ff=32)
+    ids = jnp.zeros((1, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    fused = params["blocks"]["attn"]["qkv"]["kernel"]  # (L, D, 3, H, dkv)
+
+    old = jax.tree.map(lambda x: x, params)  # deep-ish copy of the dicts
+    old["blocks"] = dict(old["blocks"])
+    attn_old = {
+        "q": {"kernel": fused[:, :, 0]},
+        "k": {"kernel": fused[:, :, 1]},
+        "v": {"kernel": fused[:, :, 2]},
+        "o": old["blocks"]["attn"]["o"],
+    }
+    old["blocks"]["attn"] = attn_old
+
+    upgraded = compat.upgrade_fused_qkv_params(old)
+    assert jax.tree.structure(upgraded) == jax.tree.structure(params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), upgraded, params)
+    # model runs with the upgraded tree
+    out_a = model.apply({"params": params}, ids)
+    out_b = model.apply({"params": upgraded}, ids)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+    # idempotent on an already-fused tree
+    again = compat.upgrade_fused_qkv_params(upgraded)
+    assert jax.tree.structure(again) == jax.tree.structure(params)
