@@ -304,14 +304,80 @@ def main():
 
     ours = results["ours_bf16_tome"]
     base = results["baseline_f32"]
-    print(json.dumps({
+    payload = {
         "metric": (f"obs_to_action_inferences_per_sec_per_chip_"
                    f"{metric_tag}_diffusion_tome"),
         "value": ours["inf_per_sec"],
         "unit": "inferences/sec/chip",
         "vs_baseline": round(base["ms_per_call"] / ours["ms_per_call"], 3),
         "detail": detail,
-    }), flush=True)
+    }
+    emit_final(payload, "multicam" if MULTICAM else "headline")
+
+
+def emit_final(payload, mode):
+    """Record the FULL payload under benchmarks/recorded/ (and point
+    LATEST.json at it), then print ONE compact final JSON line.
+
+    The driver captures only the tail of bench.py's output
+    (VERDICT r3 item 7: BENCH_r03 lost its own headline keys because the
+    full detail blob ran past the capture window), so the LAST line must
+    be a self-contained summary well under 2,000 chars; everything else
+    lives in the recorded artifact the summary names.
+    """
+    rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "benchmarks", "recorded")
+    fname = f"bench_{mode}_latest_full.json"
+    try:
+        os.makedirs(rec, exist_ok=True)
+        with open(os.path.join(rec, fname), "w") as f:
+            f.write(json.dumps(payload) + "\n")
+        latest_path = os.path.join(rec, "LATEST.json")
+        try:
+            with open(latest_path) as f:
+                latest = json.load(f)
+        except (OSError, ValueError):
+            latest = {}
+        latest[mode] = fname
+        with open(latest_path, "w") as f:
+            f.write(json.dumps(latest, indent=1) + "\n")
+    except OSError as e:  # read-only checkout: keep the summary alive
+        log(f"[bench] could not record full artifact: {e}")
+
+    print(compact_line(payload, fname), flush=True)
+
+
+def compact_line(payload, fname):
+    """One-line JSON summary of a full bench payload, <= ~2,000 chars."""
+    d = payload.get("detail", {})
+    compact_detail = {"device": d.get("device"), "batch": d.get("batch"),
+                      "full_artifact": f"benchmarks/recorded/{fname}"}
+    for name, v in (d.get("variants") or {}).items():
+        compact_detail[name] = {
+            k: v[k] for k in ("ms_per_call", "inf_per_sec", "mfu")
+            if k in v}
+    if isinstance(d.get("train"), dict):
+        compact_detail["train"] = {
+            k: d["train"][k] for k in ("ms_per_step", "mfu",
+                                       "examples_per_sec")
+            if k in d["train"]}
+    if isinstance(d.get("serving_b1"), dict):
+        compact_detail["serving_b1_p50_ms"] = d["serving_b1"].get("p50_ms")
+    deep = d.get("deep_stack_tome_224tok_12blk")
+    if isinstance(deep, dict):
+        compact_detail["deep_tome"] = {
+            "seq_per_sec": deep.get("sequences_per_sec_tome"),
+            "speedup": deep.get("tome_speedup_vs_vanilla")}
+    compact = {k: payload[k] for k in ("metric", "value", "unit",
+                                       "vs_baseline", "stale",
+                                       "stale_reason") if k in payload}
+    compact["detail"] = compact_detail
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # belt and braces: never exceed the capture tail
+        compact["detail"] = {"full_artifact":
+                             f"benchmarks/recorded/{fname}"}
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def bench_serving_b1(model_vars, peak):
@@ -1027,7 +1093,7 @@ def emit_stale_recorded():
     best_payload["stale_reason"] = (
         "TPU backend unreachable for the full BENCH_WAIT_S budget; "
         "replaying the most recent recorded on-hardware artifact")
-    print(json.dumps(best_payload), flush=True)
+    print(compact_line(best_payload, name), flush=True)
     return True
 
 
