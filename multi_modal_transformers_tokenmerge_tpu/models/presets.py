@@ -23,7 +23,7 @@ from ..core.config import (
 )
 
 __all__ = ["octo_tiny", "octo_small", "octo_base", "octo_multicam",
-           "octo_base_deep", "get_preset", "PRESETS"]
+           "octo_base_deep", "octo_deep", "get_preset", "PRESETS"]
 
 
 def octo_tiny(**overrides) -> OctoConfig:
@@ -133,12 +133,37 @@ def octo_base_deep(**overrides) -> OctoConfig:
     return cfg.replace(**overrides)
 
 
+def octo_deep(**overrides) -> OctoConfig:
+    """Production-scale ToMe flagship: 224-token sequence (2 frames x 100
+    image tokens at 28px patches + readouts + 16 text tokens), 12 blocks,
+    4x MLP — the regime the fork's token merging is FOR (measured 1.32x
+    stack-level at these shapes, BASELINE.md 'Where ToMe pays').  Grouped
+    merging (`tome_merge_every=4`) sheds 32 image tokens per set at each
+    merge event: 224 -> 96 tokens by block 8.  Disable with
+    ``transformer.compression_mode='none'`` for the matched vanilla
+    baseline (same params, same init)."""
+    base = octo_base()
+    cfg = base.replace(
+        input_sequence=(
+            "[TaskDescriptionPrefix{16}] [Image{100};Readout{4}]*2"),
+        compression_sequence=(
+            "[TaskDescriptionPrefix{0}] [Image{32};Readout{0}]*2"),
+        images=base.images.replace(patch_size=28),
+        transformer=base.transformer.replace(
+            num_blocks=12, mlp_dim=3072,
+            attention=base.transformer.attention.replace(num_heads=12),
+            compression_mode="merge", tome_merge_every=4),
+    )
+    return cfg.replace(**overrides)
+
+
 PRESETS = {
     "octo_tiny": octo_tiny,
     "octo_small": octo_small,
     "octo_base": octo_base,
     "octo_multicam": octo_multicam,
     "octo_base_deep": octo_base_deep,
+    "octo_deep": octo_deep,
 }
 
 

@@ -3,30 +3,39 @@ Pallas TPU kernel for the BACKWARD pass.
 
 Why this exists (reference: the embedder's ``max_pool`` at
 tokenizers/images/image_tokenizer.py:163): at octo_base embedder shapes
-XLA's ``select_and_scatter`` backward is ~1.45 ms of the ~7.8 ms train
-backward (~19%, benchmarks/recorded/train_profile_r3.json) — about 5x its
+XLA's ``select_and_scatter`` backward is ~1.3-1.5 ms of the ~7.8 ms train
+backward (~19%, benchmarks/recorded/train_profile_r3.json) — about 4x its
 HBM-traffic lower bound.  Three XLA-level bit-exact replacement VJPs were
 measured in round 3 and ALL lost to ``select_and_scatter`` (stacked
 argmax 6.0 ms, iterative winner 4.57 ms, prefix-or first-claim 4.91 ms vs
 1.64 ms fwd+bwd; benchmarks/exp_pool_argmax{,2}.py, docs/KERNELS.md): each
-of their 9 shifted full-size slices materializes in HBM.  Inside a Pallas
-kernel the 9 window shifts are VMEM reads, so the HBM traffic is exactly
-``read x + read g + write dx`` (~0.37 ms at octo_base shapes on v5e).
+of their 9 shifted full-size slices materializes in HBM.
 
-MEASURED OUTCOME (v5e, grad of sum at (23,23,64,1600)): the kernel is
-bit-exact vs select_and_scatter but SLOWER — 2.35 vs 1.49 ms bf16, 2.02
-vs 1.98 ms f32 — ~6x off its traffic bound.  The per-(C,N)-block grid
-gathers 529 non-contiguous (sublane,lane) tiles per block from the
-(H,W,C,N) HBM layout, and Pass B's 9 dependent read-modify-writes
-serialize; neither cost shows in interpret mode.  ``pool_vjp`` therefore
-DEFAULTS TO 'xla' (core/config.py) and 'auto' resolves to 'xla'; the
-kernel is kept as a measured negative result and for the bench A/B
-(bench.py records it each round).
+KERNEL HISTORY — both Pallas kernels are MEASURED NEGATIVE RESULTS and
+``pool_vjp`` defaults to 'xla'.  The round-3 kernel blocked over (C, N)
+and kept (H, W) as the un-tiled leading dims of each block — so every
+window shift gathered 529 separate (sublane, lane) tiles from HBM and it
+LOST to select_and_scatter (2.35 vs 1.49 ms bf16).  This round-4 kernel
+fixes exactly that: the wrapper reshapes (H, W, C, N) -> (H, W*C, N) — a
+layout-preserving view, W and C are adjacent — so a window shift
+(di, dj) becomes a slice at row di (un-tiled leading dim) and sublane
+offset dj*C (tile-aligned whenever C is a multiple of the sublane
+count, e.g. C=64); first-match claims are tracked by poisoning claimed
+positions of the running max with NaN (x == NaN is false for every later
+window), eliminating the argmax and found-mask temporaries.  MEASURED
+(v5e, octo_base shapes, benchmarks/recorded/pool_pallas_r4.json): STILL
+loses — 2.59 vs 1.52 ms backward, 0.955x e2e train — the 9 dependent
+read-modify-write passes over the dx block serialize against a
+near-VMEM-limit working set.  XLA's single-pass fused select_and_scatter
+remains the measured optimum; the kernel stays for the bench A/B and as
+the recorded upper bound on what this formulation buys.
 
 Semantics: gradient routes to the FIRST max position in raster order
 within each window — identical to XLA's select_and_scatter tie handling
 on TPU (verified on tie-heavy bf16 data: tests/test_pool_vjp.py compares
-against ``jax.vjp`` of ``reduce_window`` elementwise).
+against ``jax.vjp`` of ``reduce_window`` elementwise).  (On NaN inputs
+the two differ — SAS routes to the first NaN, this kernel drops the
+gradient — matching XLA is meaningless for NaN losses.)
 
 Forward stays ``lax.reduce_window`` — it is already at its traffic bound
 (0.217 ms measured vs ~0.24 ms bound).  Only VALID padding and stride 1
@@ -53,83 +62,59 @@ def _reduce_window_max(x, window):
         x, -jnp.inf, jax.lax.max, (wh, ww, 1, 1), (1, 1, 1, 1), "VALID")
 
 
-def _pool_bwd_kernel(x_ref, g_ref, dx_ref, *, wh: int, ww: int):
-    """One (C-tile, N-tile) block: recompute per-window first-match argmax
-    from x, then scatter g along the 9 static shifts into dx.
+def _pool_bwd_kernel(x_ref, g_ref, dx_ref, *, wh: int, ww: int, c: int):
+    """One N-block on the folded (H, W*C, Nb) layout: route g to the
+    first raster-order max of each window.
 
-    All shifts index the two LEADING dims, which Mosaic keeps un-tiled —
-    slices are address offsets of whole (sublane, lane) tiles.
+    x_ref (H, W*C, Nb); g_ref (OH, OW*C, Nb); dx_ref like x_ref.  All
+    shifts are a leading-dim row offset (di) plus a sublane offset
+    (dj*c) — whole-tile address arithmetic, no gathers.
+
+    Pass A recomputes the per-window max in f32 (cheaper than streaming
+    the forward output from HBM: 90 MB saved at octo_base shapes, and it
+    keeps the VMEM working set inside the scoped budget).  Pass B claims
+    winners in raster order, poisoning claimed positions with NaN so no
+    later window slot can re-match them — first match wins, matching
+    XLA's select_and_scatter tie rule.
     """
-    x = x_ref[...]                       # (H, W, Cb, Nb)
-    h, w = x.shape[0], x.shape[1]
-    oh, ow = h - wh + 1, w - ww + 1
-    out_shape = (oh, ow) + x.shape[2:]
+    oh, owc = g_ref.shape[0], g_ref.shape[1]
+    slices = [(slice(di, di + oh), slice(dj * c, dj * c + owc))
+              for di in range(wh) for dj in range(ww)]
 
-    # Pass A: running max + first-match argmax (strict > keeps the FIRST
-    # raster-order winner).  Comparisons run in f32 — Mosaic rejects cmpf
-    # on packed bf16 vectors ("Target does not support this comparison"
-    # on v5e) — with the cast done per window slice so only the running
-    # max/argmax are f32-materialized, not a full f32 copy of x.
-    m = jnp.full(out_shape, -jnp.inf, jnp.float32)
-    amax = jnp.zeros(out_shape, jnp.float32)
-    k = 0
-    for di in range(wh):
-        for dj in range(ww):
-            xs = jax.lax.slice(x, (di, dj, 0, 0),
-                               (di + oh, dj + ow) + x.shape[2:]
-                               ).astype(jnp.float32)
-            gt = xs > m
-            amax = jnp.where(gt, jnp.full_like(amax, float(k)), amax)
-            m = jnp.where(gt, xs, m)
-            k += 1
+    y_w = jnp.full((oh, owc, g_ref.shape[2]), -jnp.inf, jnp.float32)
+    for sl in slices:
+        y_w = jnp.maximum(y_w, x_ref[sl].astype(jnp.float32))
 
-    # Pass B: route g to the winning input position.  Accumulate directly
-    # in the output block (read-modify-write on static slices); a given
-    # input position receives at most wh*ww contributions.
-    g = g_ref[...].astype(dx_ref.dtype)  # (oh, ow, Cb, Nb)
-    zero = jnp.zeros_like(g)
-    dx_ref[...] = jnp.zeros(x.shape, dx_ref.dtype)
-    k = 0
-    for di in range(wh):
-        for dj in range(ww):
-            contrib = jnp.where(amax == float(k), g, zero)
-            sl = (slice(di, di + oh), slice(dj, dj + ow))
-            dx_ref[sl] = dx_ref[sl] + contrib
-            k += 1
+    g = g_ref[...]
+    dx_ref[...] = jnp.zeros(x_ref.shape, dx_ref.dtype)
+    for sl in slices:
+        sel = x_ref[sl].astype(jnp.float32) == y_w
+        dx_ref[sl] = dx_ref[sl] + jnp.where(
+            sel, g, jnp.zeros((), g.dtype))
+        y_w = jnp.where(sel, jnp.full((), jnp.nan, jnp.float32), y_w)
 
 
-def _pick_blocks(c: int, n: int, dtype) -> tuple:
-    """(C, N) block sizes: one native sublane tile of C, a lane tile of
-    N.  The last block dim must be 128-divisible (or the full array
-    dim), so VMEM is managed via the C (sublane) block only; the
-    pallas_call sets vmem_limit_bytes to cover the double-buffered
-    blocks plus the kernel's f32 running max/argmax temporaries."""
-    sub = 16 if dtype == jnp.bfloat16 else 8
-    return min(c, sub), min(n, 128)
-
-
-def _pool_bwd_pallas(x, g, window, interpret):
+def _pool_bwd_pallas(x, g, window, c, interpret):
     wh, ww = window
-    h, w, c, n = x.shape
-    bc, bn = _pick_blocks(c, n, x.dtype)
-    grid = (pl.cdiv(c, bc), pl.cdiv(n, bn))
-    kernel = functools.partial(_pool_bwd_kernel, wh=wh, ww=ww)
+    h, wc, n = x.shape
+    oh, owc = h - wh + 1, wc - (ww - 1) * c
+    bn = min(n, 128)
+    grid = (pl.cdiv(n, bn),)
+    kernel = functools.partial(_pool_bwd_kernel, wh=wh, ww=ww, c=c)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((h, w, bc, bn), lambda i, j: (0, 0, i, j)),
-            pl.BlockSpec((h - wh + 1, w - ww + 1, bc, bn),
-                         lambda i, j: (0, 0, i, j)),
+            pl.BlockSpec((h, wc, bn), lambda j: (0, 0, j)),
+            pl.BlockSpec((oh, owc, bn), lambda j: (0, 0, j)),
         ],
-        out_specs=pl.BlockSpec((h, w, bc, bn), lambda i, j: (0, 0, i, j)),
+        out_specs=pl.BlockSpec((h, wc, bn), lambda j: (0, 0, j)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        # f32 blocks at C=8 plus the double-buffered pipeline sit just
-        # over the default 16 MB scoped-vmem budget; size the limit to
-        # the actual working set instead (x/g/dx blocks double-buffered
-        # + f32 running max/argmax), capped well under the 128 MB VMEM.
+        # working set at octo_base shapes: x/g blocks double-buffered
+        # (~31 MB) + dx out (~17 MB) + the f32 running max (~14 MB) +
+        # transient f32 compare slices; cap under the 128 MB VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, g)
 
@@ -144,7 +129,16 @@ def _fwd(x, window, interpret):
 
 
 def _bwd(window, interpret, x, g):
-    return (_pool_bwd_pallas(x, g, window, interpret),)
+    h, w, c, n = x.shape
+    wh, ww = window
+    oh, ow = h - wh + 1, w - ww + 1
+    # (H, W, C, N) -> (H, W*C, N): W and C are adjacent dims, so this is
+    # a layout-preserving view (free), and window column shifts become
+    # sublane offsets of dj*C
+    x2 = x.reshape(h, w * c, n)
+    g2 = g.reshape(oh, ow * c, n)
+    dx2 = _pool_bwd_pallas(x2, g2, window, c, interpret)
+    return (dx2.reshape(h, w, c, n),)
 
 
 _max_pool_hwcn_pallas_vjp.defvjp(_fwd, _bwd)

@@ -158,8 +158,9 @@ class RecordReader:
     ``jax.process_index()``/``jax.process_count()``); remainder records
     beyond ``num_records // num_shards`` are dropped.
 
-    ``backend='native'`` uses the C++ threaded reader; ``'numpy'`` is the
-    pure-Python fallback; ``'auto'`` picks native when a toolchain exists.
+    ``backend='numpy'`` (the measured default — ``'auto'`` resolves to
+    it, see __init__) assembles batches from memmaps in one copy;
+    ``backend='native'`` opts into the experimental C++ threaded reader.
     Iteration is infinite (epochs stream back to back); batches within an
     epoch cover distinct records (shuffled by a per-epoch permutation when
     ``shuffle_seed`` is given; remainder records beyond the last full batch
@@ -201,12 +202,19 @@ class RecordReader:
         self.shuffle_seed = shuffle_seed
         self.copy_fields = copy_fields
         if backend == "auto":
-            # the native worker pool needs cores to parallelize preads;
-            # on 1-2 core hosts the single-copy memmap path measures ~2x
-            # faster (benchmarks/exp_reader_throughput.py) — real TPU
-            # hosts have dozens of cores and take the native path
-            backend = ("native" if _native_available()
-                       and (os.cpu_count() or 1) >= 4 else "numpy")
+            # DATA-DRIVEN DEFAULT (round 4): numpy wins every reachable
+            # configuration on this rig — 5,697 MB/s vs the native
+            # pool's best 1,762 MB/s across 1-8 worker threads
+            # (benchmarks/recorded/reader_sweep_r4.json; the r3 rule
+            # keyed on host cores but was only ever measured on a 1-CPU
+            # host).  Both backends outrun the train step's ~2.1 GB/s
+            # demand; numpy does it with one copy and no thread pool.
+            # The native C++ reader remains an EXPLICIT opt-in
+            # (backend='native'): correctness-tested (tests/
+            # test_recordio.py), perf-unvalidated on multi-core hosts —
+            # rerun exp_reader_sweep_r4.py on a real multi-core rig
+            # before preferring it.
+            backend = "numpy"
         self.backend = backend
         self._handle = None
         if backend == "native":
