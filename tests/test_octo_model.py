@@ -180,3 +180,31 @@ def test_wrong_modality_token_count_raises(micro_model):
     bad_images = jnp.ones((2, 2, 64, 64, 3))  # 2 frames; micro is 1-frame
     with pytest.raises(ValueError, match="images stream has .* tokens"):
         model.apply(v, text, bad_images, method="generate_readouts")
+
+
+def test_octo_deep_preset_layout_and_schedule():
+    """The production-scale ToMe flagship preset (octo_deep): 224-token
+    sequence, grouped merging shedding 32 image tokens per set per merge
+    event -> 96 tokens by the last event."""
+    from multi_modal_transformers_tokenmerge_tpu.models.presets import (
+        octo_deep)
+    from multi_modal_transformers_tokenmerge_tpu.sequence import (
+        SequenceLayout)
+
+    cfg = octo_deep()
+    assert cfg.transformer.num_blocks == 12
+    assert cfg.transformer.tome_merge_every == 4
+    # 280/28 = 10 -> 100 patches per frame matches Image{100}
+    h = cfg.images.image_size[0]
+    assert (h // cfg.images.patch_size) ** 2 == 100
+
+    layout = SequenceLayout.from_strings(cfg.input_sequence,
+                                         cfg.compression_sequence)
+    assert layout.total_tokens == 224
+    # merge events at blocks 4 and 8 shed 2 sets x 32 tokens each
+    events = cfg.transformer.num_blocks // cfg.transformer.tome_merge_every
+    shed_per_event = 2 * 32
+    # per-layer schedule: layer index k sees tokens after k merge events
+    assert layout.tokens_at_layer(0) == 224
+    final = 224 - (events - 1) * shed_per_event
+    assert layout.tokens_at_layer(events - 1) == final == 96
