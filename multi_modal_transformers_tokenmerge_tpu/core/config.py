@@ -205,6 +205,14 @@ class TransformerConfig(_Replaceable):
     # use size-weighted (proportional) attention for merged tokens
     proportional_attention: bool = False
     remat: bool = False
+    # final LayerNorm after the block stack.  Default OFF to mirror the
+    # reference's StackedEncoder1DBlock (attention.py:87-119, no output
+    # norm) — fine at its 1 block, but a deep pre-LN stack's residual
+    # stream grows unnormalized with depth (measured std 7.6 at 12
+    # blocks) and saturates the tanh action head: bf16 tanh rounds to
+    # exactly +-1, its gradient to exactly 0, and training freezes
+    # (observed on octo_deep before this flag).  Deep presets set True.
+    final_norm: bool = False
 
 
 @dataclass(frozen=True)

@@ -152,7 +152,12 @@ def octo_deep(**overrides) -> OctoConfig:
         transformer=base.transformer.replace(
             num_blocks=12, mlp_dim=3072,
             attention=base.transformer.attention.replace(num_heads=12),
-            compression_mode="merge", tome_merge_every=4),
+            compression_mode="merge", tome_merge_every=4,
+            # a 12-block pre-LN residual stream reaches std ~7.6
+            # unnormalized and saturates the tanh action head (exactly
+            # zero bf16 gradients, training freezes) — deep presets
+            # normalize the stack output
+            final_norm=True),
     )
     return cfg.replace(**overrides)
 

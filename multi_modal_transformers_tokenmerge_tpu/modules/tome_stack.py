@@ -239,7 +239,7 @@ class CompressedTransformerStack(nn.Module):
                     self.cfg, self.layout, layer, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"block_{layer}")(
                         x, size, deterministic)
-            return x
+            return self._maybe_final_norm(x)
 
         if self.cfg.compression_mode not in ("merge", "prune"):
             raise ValueError(
@@ -296,7 +296,16 @@ class CompressedTransformerStack(nn.Module):
                         x.astype(jnp.float32), axis=-1)
                     x, size = _prune_sets(x, size, importance, self.layout,
                                           stage)
-        return x
+        return self._maybe_final_norm(x)
+
+    def _maybe_final_norm(self, x):
+        # cfg.final_norm: see core/config.py — deep pre-LN stacks saturate
+        # the tanh head without an output norm
+        if not self.cfg.final_norm:
+            return x
+        return nn.LayerNorm(epsilon=self.cfg.layer_norm_epsilon,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="final_norm")(x)
 
     def final_layer(self) -> int:
         """Stage/layer index of the output layout (for readout slicing)."""

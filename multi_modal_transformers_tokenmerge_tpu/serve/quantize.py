@@ -90,9 +90,11 @@ def quantize_t5_params(t5_params) -> dict:
     blocks = p["blocks"]
     d_model = p["token_embedding"]["embedding"].shape[1]
     d_ff = blocks["wi"]["kernel"].shape[-1]
-    # fused qkv kernel (modules/t5.py): (layers, d_model, 3, heads, d_kv);
-    # the quantized serving tree keeps q/k/v separate so t5_encode_int8's
-    # per-projection int8 matmuls (and their scales) are unchanged
+    # fused qkv kernel (modules/t5.py): (layers, d_model, 3, heads, d_kv).
+    # The quantized tree keeps it FUSED — one int8 matmul instead of
+    # three (the float tower's measured 1.09x, t5_qkv_r3.json) — and the
+    # per-output-channel scales are per fused COLUMN, so each
+    # projection's numerics are bit-identical to quantizing it separately
     h, dkv = blocks["attn"]["qkv"]["kernel"].shape[-2:]
 
     def per_layer(layer):
@@ -100,9 +102,7 @@ def quantize_t5_params(t5_params) -> dict:
         return {
             "attn_norm": layer["attn_norm"]["scale"],
             "mlp_norm": layer["mlp_norm"]["scale"],
-            "q": _q2d(qkv[:, 0], d_model),
-            "k": _q2d(qkv[:, 1], d_model),
-            "v": _q2d(qkv[:, 2], d_model),
+            "qkv": _q2d(qkv, d_model),
             "o": _q2d(layer["attn"]["o"]["kernel"], h * dkv),
             "wi": _q2d(layer["wi"]["kernel"], d_model),
             "wo": _q2d(layer["wo"]["kernel"], d_ff),
@@ -125,15 +125,18 @@ def _rmsnorm(x, scale, epsilon=1e-6):
 
 def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
                    rel_pos_max_distance: int = 128,
-                   dtype=jnp.bfloat16) -> jax.Array:
+                   dtype=jnp.bfloat16, unroll=True) -> jax.Array:
     """Quantized mirror of ``T5EncoderStack.__call__`` (modules/t5.py).
 
     Head geometry comes from array SHAPES (static even when the whole
     qparams tree is a jit argument): num_heads from the bias table's last
-    axis, d_kv from the q matrix width.
+    axis, d_kv from the fused qkv matrix width.  ``unroll`` matches the
+    float tower's full scan unroll (t5_scan_unroll=0 in the preset): at
+    T=16 the per-layer matmuls are tiny and the rolled scan's dispatch
+    dominated the r3 int8 tower's losing 0.80x.
     """
     h = qparams["relative_attention_bias"].shape[-1]
-    dkv = qparams["layers"]["q"].q.shape[-1] // h
+    dkv = qparams["layers"]["qkv"].q.shape[-1] // (3 * h)
     b, t = token_ids.shape
 
     x = jnp.take(qparams["token_embedding"], token_ids, axis=0).astype(dtype)
@@ -148,9 +151,10 @@ def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
 
     def block(x, layer):
         y = _rmsnorm(x, layer["attn_norm"]).astype(dtype)
-        q = int8_matmul(y, layer["q"]).reshape(b, t, h, dkv)
-        k = int8_matmul(y, layer["k"]).reshape(b, t, h, dkv)
-        v = int8_matmul(y, layer["v"]).reshape(b, t, h, dkv)
+        # one fused int8 qkv matmul (mirrors the float tower's fused
+        # projection, modules/t5.py): (B, T, 3, H, D)
+        qkv = int8_matmul(y, layer["qkv"]).reshape(b, t, 3, h, dkv)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits + position_bias.astype(jnp.float32)
@@ -164,7 +168,7 @@ def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
         y = int8_matmul(y, layer["wo"])
         return (x + y.astype(dtype)), None
 
-    x, _ = jax.lax.scan(block, x, qparams["layers"])
+    x, _ = jax.lax.scan(block, x, qparams["layers"], unroll=unroll)
     return _rmsnorm(x, qparams["final_norm"]).astype(dtype)
 
 
