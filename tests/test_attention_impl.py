@@ -116,3 +116,33 @@ def test_attention_fn_hook_dropout_contract():
     out = mha2.apply(v2, x, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(1)})
     assert out.shape == x.shape and "dropout_rng" in seen
+
+
+def test_final_norm_bounds_deep_stack_output():
+    """Regression for the octo_deep training freeze: a deep pre-LN stack's
+    residual stream grows unnormalized with depth and saturates the tanh
+    action head (bf16 tanh gradient exactly 0).  cfg.final_norm must bound
+    the output; default-off must keep the reference behavior."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig)
+    from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
+        TransformerStack)
+
+    base = TransformerConfig(
+        num_blocks=12,
+        attention=AttentionConfig(num_heads=2, qkv_features=32,
+                                  dropout_rate=0.0),
+        mlp_dim=64, dropout_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32))
+
+    def run(cfg):
+        stack = TransformerStack(cfg)
+        v = stack.init(jax.random.PRNGKey(1), x)
+        return np.asarray(stack.apply(v, x), np.float32)
+
+    out_raw = run(base)
+    out_norm = run(base.replace(final_norm=True))
+    std_raw = float(np.std(out_raw))
+    std_norm = float(np.std(out_norm))
+    assert std_raw > 2.0, std_raw          # unnormalized stream grows
+    assert 0.5 < std_norm < 1.5, std_norm  # final LN bounds it
