@@ -106,9 +106,15 @@ def main():
     images = np.ones((2, 280, 280, 3), np.float32)
     rng = np.random.default_rng(0)
 
+    # Warm/compile on the MAIN thread: the axon tunnel's remote-compile
+    # client dies when the first compile happens inside the server's
+    # worker thread (observed: C++ 'exception not rethrown' abort); after
+    # this, worker-thread calls hit the executable cache.
+    eng(jnp.asarray(np.ones((BATCH, 2, 280, 280, 3), np.float32)))
+
     # closed-loop service time: one full batch dispatch, warmed
     with PolicyServer(eng, max_wait_ms=2.0) as server:
-        for _ in range(3):  # warm: compile + cache
+        for _ in range(3):  # warm the server path too
             server.predict(images, timeout=600.0)
         t0 = time.perf_counter()
         k = 20
