@@ -1028,6 +1028,71 @@ def main_deep():
     }), flush=True)
 
 
+def main_deep_model():
+    """End-to-end octo_deep preset (BENCH_DEEP_MODEL=1): the full
+    production-scale ToMe flagship MODEL (224-token sequence, 12 blocks,
+    4x MLP, T5 tower, diffusion head) vs the same model with compression
+    off — the whole-model counterpart of main_deep()'s stack-only
+    number.  Writes benchmarks/recorded/octo_deep_model_r4.json."""
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    from multi_modal_transformers_tokenmerge_tpu.models.presets import (
+        octo_deep)
+
+    peak, kind = device_peak_flops()
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = jnp.ones((BATCH, 16), dtype=jnp.int32)
+    rng = np.random.default_rng(0)
+    images_stack = jnp.asarray(
+        rng.integers(0, 256, (N_INPUTS, BATCH, 2, 280, 280, 3)),
+        dtype=jnp.float32)
+
+    tome = octo_deep(dtype="bfloat16")
+    vanilla = tome.replace(
+        compression_sequence=None,
+        transformer=tome.transformer.replace(compression_mode="none"))
+
+    results = {}
+    for name, cfg in (("vanilla", vanilla), ("tome", tome)):
+        model = Octo(cfg)
+        variables = jax.jit(model.init)(
+            {"params": keys[0], "patch_encoding": keys[1],
+             "dropout": keys[2], "diffusion": keys[3]},
+            text, images_stack[0])
+        single = jax.jit(
+            lambda v, t, im, k, model=model: model.apply(
+                v, t, im, rngs={"diffusion": k},
+                method="predict_diffusion_action")
+        ).lower(variables, text, images_stack[0], keys[3]).compile()
+        flops = flops_of(single)
+        sec = sec_per_call(
+            build_loop(serve_step(model, "predict_diffusion_action")),
+            (variables, text, images_stack, keys[3]), f"octo_deep_{name}")
+        results[name] = {"ms_per_call": round(sec * 1e3, 3),
+                         "inf_per_sec": round(BATCH / sec, 1),
+                         "gflops_per_call": round(flops / 1e9, 1)
+                         if flops else None}
+        check_mfu(f"octo_deep_{name}", sec, flops, peak, results[name])
+        log(f"[bench] octo_deep_{name}: {BATCH/sec:.0f} inf/s "
+            f"({sec*1e3:.2f} ms/call, MFU {results[name].get('mfu', '?')})")
+
+    payload = {
+        "metric": "octo_deep_model_inferences_per_sec_per_chip",
+        "value": results["tome"]["inf_per_sec"],
+        "unit": "inferences/sec/chip (ToMe)",
+        "vs_baseline": round(results["vanilla"]["ms_per_call"]
+                             / results["tome"]["ms_per_call"], 3),
+        "detail": {"batch": BATCH, "device": kind, "variants": results},
+    }
+    rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "benchmarks", "recorded")
+    try:
+        with open(os.path.join(rec, "octo_deep_model_r4.json"), "w") as f:
+            f.write(json.dumps(payload) + "\n")
+    except OSError as e:
+        log(f"[bench] could not record octo_deep artifact: {e}")
+    print(json.dumps(payload), flush=True)
+
+
 def wait_for_backend(max_wait_s: float = None):
     """Block until the device backend answers (or the budget runs out).
 
@@ -1109,5 +1174,7 @@ if __name__ == "__main__":
         main_decomp()
     elif DEEP:
         main_deep()
+    elif os.environ.get("BENCH_DEEP_MODEL") == "1":
+        main_deep_model()
     else:
         main()
