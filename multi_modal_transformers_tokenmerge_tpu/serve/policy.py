@@ -33,7 +33,7 @@ class PolicyEngine:
     def __init__(self, model, variables, head: str = "diffusion",
                  batch_size: int = 1, rng: Optional[jax.Array] = None,
                  cache_text: bool = True, tokenizer=None, mesh=None,
-                 image_tower: str = "bf16"):
+                 image_tower: str = "bf16", text_tower: str = "bf16"):
         """``tokenizer``: optional callable mapping a list of instruction
         strings to an (B, T) int32 id array — e.g.
         ``utils.spm.T5StyleTokenizer`` over a local t5 sentencepiece model,
@@ -49,7 +49,14 @@ class PolicyEngine:
         ``image_tower``: 'bf16' (the model's own encoder) or 'int8' — the
         post-training-quantized patch embedder (serve/quantize.py),
         routed through the ``*_with_modalities`` model methods.  A serving
-        approximation: actions track the float tower to a few percent."""
+        approximation: actions track the float tower to a few percent.
+
+        ``text_tower``: 'bf16' or 'int8' — the quantized frozen T5 tower
+        for instruction encoding (set_instruction / encode_instruction).
+        Pays in the UNCACHED-instruction batch-1 regime (measured
+        1.29-1.40x on v5e, BASELINE.md round-4 regime table); with
+        instruction caching on (the default) it only changes cache-miss
+        latency.  Requires a t5-kind text encoder."""
         if head not in _PREDICT_METHODS:
             raise ValueError(
                 f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
@@ -92,6 +99,23 @@ class PolicyEngine:
             self._serve_vars = {"model": self.variables, "img_q": qp}
         else:
             self._serve_vars = self.variables
+        if text_tower not in ("bf16", "int8"):
+            raise ValueError(
+                f"unknown text_tower {text_tower!r}; 'bf16' or 'int8'")
+        self.text_tower = text_tower
+        self._text_qp = None
+        if text_tower == "int8":
+            if model.config.text.kind != "t5":
+                raise ValueError(
+                    f"text_tower='int8' requires a t5 text encoder, got "
+                    f"{model.config.text.kind!r}")
+            from .quantize import quantize_t5_params
+            self._text_qp = quantize_t5_params(
+                self.variables["params"]["text_encoder"]["t5_encoder"])
+            if mesh is not None:
+                from ..parallel.mesh import replicated
+                self._text_qp = jax.device_put(self._text_qp,
+                                               replicated(mesh))
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._step = 0
         self._compiled = None
@@ -205,8 +229,22 @@ class PolicyEngine:
 
     def _encode_text_fn(self):
         if "encode_text" not in self._jit_cache:
-            self._jit_cache["encode_text"] = jax.jit(
-                lambda v, t: self.model.apply(v, t, method="encode_text"))
+            if self.text_tower == "int8":
+                from .quantize import t5_encode_int8
+                tcfg = self.model.config.text
+                dtype = self.model.config.compute_dtype
+                # qp is a jit ARGUMENT: the 110M-param tower as a closed
+                # const would blow the remote-compile request size limit
+                f = jax.jit(lambda qp, t: t5_encode_int8(
+                    qp, t, rel_pos_buckets=tcfg.t5_rel_pos_buckets,
+                    rel_pos_max_distance=tcfg.t5_rel_pos_max_distance,
+                    dtype=dtype))
+                self._jit_cache["encode_text"] = (
+                    lambda v, t: f(self._text_qp, t))
+            else:
+                self._jit_cache["encode_text"] = jax.jit(
+                    lambda v, t: self.model.apply(v, t,
+                                                  method="encode_text"))
         return self._jit_cache["encode_text"]
 
     # -- predict functions (shared by AOT and jit paths) ------------------

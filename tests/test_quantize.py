@@ -111,3 +111,50 @@ def test_make_int8_text_encoder_serving_path():
 
     with pytest.raises(ValueError, match="t5"):
         make_int8_text_encoder(Octo(octo_micro()), v)
+
+
+def test_policy_engine_int8_text_tower():
+    """PolicyEngine(text_tower='int8') routes instruction encoding through
+    the quantized tower; actions must track the bf16 engine to serving
+    tolerance, and non-t5 configs must be rejected."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        TextEncoderConfig)
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    from multi_modal_transformers_tokenmerge_tpu.serve.policy import (
+        PolicyEngine)
+
+    from micro_configs import octo_micro
+
+    cfg = octo_micro()
+    cfg = cfg.replace(text=TextEncoderConfig(
+        kind="t5", vocab_size=64, max_length=4, embedding_dim=32,
+        t5_num_layers=2, t5_num_heads=2, t5_d_kv=16, t5_d_ff=64,
+        t5_rel_pos_buckets=8, t5_rel_pos_max_distance=16))
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = np.ones((1, 4), dtype=np.int32)
+    images = jnp.ones((2, 64, 64, 3))
+    v = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        jnp.asarray(text), images[:1])
+
+    eng_f = PolicyEngine(model, v, head="continuous", batch_size=2)
+    eng_q = PolicyEngine(model, v, head="continuous", batch_size=2,
+                         text_tower="int8")
+    eng_f.set_instruction(text)
+    eng_q.set_instruction(text)
+    a_f = np.asarray(eng_f(images))
+    a_q = np.asarray(eng_q(images))
+    np.testing.assert_allclose(a_q, a_f, rtol=0.05, atol=0.02)
+
+    # per-request instruction rows go through the int8 tower too
+    row = eng_q.encode_instruction(text[0])
+    assert row.shape == eng_f.encode_instruction(text[0]).shape
+
+    with pytest.raises(ValueError, match="t5"):
+        PolicyEngine(Octo(octo_micro()), v, head="continuous",
+                     batch_size=2, text_tower="int8")
+    with pytest.raises(ValueError, match="text_tower"):
+        PolicyEngine(model, v, head="continuous", batch_size=2,
+                     text_tower="fp8")
