@@ -1081,7 +1081,13 @@ def main_deep_model():
         "unit": "inferences/sec/chip (ToMe)",
         "vs_baseline": round(results["vanilla"]["ms_per_call"]
                              / results["tome"]["ms_per_call"], 3),
-        "detail": {"batch": BATCH, "device": kind, "variants": results},
+        "detail": {"batch": BATCH, "device": kind, "variants": results,
+                   "flops_caveat": (
+                       "gflops/mfu are XLA cost-analysis values, which "
+                       "count an nn.scan body ONCE — the vanilla variant "
+                       "(one 12-block scan) is undercounted ~12x more "
+                       "than the staged ToMe variant (3 scans), so only "
+                       "ms_per_call comparisons are meaningful here")},
     }
     rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "benchmarks", "recorded")
