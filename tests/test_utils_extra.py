@@ -185,3 +185,36 @@ def test_native_tokenizer_unicode_lower_matches_python():
     nat = NativeWordTokenizer.from_corpus(corpus, max_length=8)
     for text in ["Déplacer le BLOC", "déplacer le bloc rouge"]:
         assert nat.encode(text) == py.encode(text), text
+
+
+def test_bench_compact_line_fits_capture_window():
+    """The driver records only the output tail; bench.py's final line must
+    stay self-contained under ~2 KB for every recorded payload shape."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    rec = os.path.join(root, "benchmarks", "recorded")
+    checked = 0
+    for name in sorted(os.listdir(rec)):
+        if not name.endswith(".json") or name == "LATEST.json":
+            continue
+        try:
+            with open(os.path.join(rec, name)) as f:
+                payload = json.load(f)
+        except ValueError:
+            continue
+        if "metric" not in payload:
+            continue
+        line = bench.compact_line(payload, name)
+        assert len(line) <= 2000, (name, len(line))
+        parsed = json.loads(line)
+        assert parsed["metric"] == payload["metric"]
+        checked += 1
+    assert checked >= 10  # the recorded corpus is non-trivial
