@@ -28,6 +28,10 @@ def main():
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--image-tower", default="bf16", choices=["bf16", "int8"],
                    help="int8: PTQ patch embedder (serve/quantize.py)")
+    p.add_argument("--text-tower", default="bf16", choices=["bf16", "int8"],
+                   help="int8: PTQ frozen T5 instruction encoder — pays "
+                        "for uncached-instruction b1 serving (t5 presets "
+                        "only; BASELINE.md regime table)")
     args = p.parse_args()
 
     cfg = get_preset(args.preset)
@@ -46,7 +50,8 @@ def main():
 
     engine = PolicyEngine(model, variables, head=args.head,
                           batch_size=args.batch,
-                          image_tower=args.image_tower)
+                          image_tower=args.image_tower,
+                          text_tower=args.text_tower)
     t0 = time.time()
     engine.compile(text_shape, image_shape)
     print(f"AOT compile: {time.time() - t0:.1f}s")
