@@ -114,3 +114,11 @@ def test_interpolation_missing_key(tmp_path):
         "continuous:\n  action_space_dim: 4\n")
     with pytest.raises(KeyError):
         load_config("root", config_dir=str(tmp_path))
+
+
+def test_octo_deep_yaml_equals_preset():
+    """configs/octo_deep.yaml is the YAML twin of presets.octo_deep."""
+    from multi_modal_transformers_tokenmerge_tpu.models.presets import (
+        octo_deep)
+
+    assert load_config("octo_deep") == octo_deep()
