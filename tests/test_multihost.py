@@ -1,0 +1,135 @@
+"""REAL multi-process (multi-controller) data parallelism.
+
+The rest of the suite exercises sharding on a single-process 8-virtual-
+device mesh; this test runs TWO separate processes coordinated by
+``jax.distributed.initialize`` (parallel/distributed.py's mechanism on
+real pods), each contributing 4 CPU devices and its own PROCESS-LOCAL
+shard of the global batch via ``jax.make_array_from_process_local_data``
+— the actual multi-host training pattern, including the cross-process
+gradient all-reduce.  Both workers must report the same loss/grad-norm,
+and they must match the single-process computation of the identical
+global batch (run here on the conftest's 8-device backend).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import sys
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    import jax
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, %(root)r)
+    from tests.test_multihost import build_problem
+
+    stack, params, x_global = build_problem()
+    assert jax.process_count() == 2 and jax.device_count() == 8
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)  # same value on every process
+    local = x_global[pid * 4:(pid + 1) * 4]
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), np.asarray(local), x_global.shape)
+
+    def loss_fn(p, x):
+        out = stack.apply({"params": p}, x)
+        return jnp.mean(jnp.square(out))
+
+    @jax.jit
+    def step(p, x):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x)
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                             for g in jax.tree.leaves(grads)))
+        return loss, gnorm
+
+    loss, gnorm = step(params, x)
+    print("RESULT", pid,
+          repr(float(loss.addressable_data(0))),
+          repr(float(gnorm.addressable_data(0))), flush=True)
+""")
+
+
+def build_problem():
+    """Deterministic tiny stack + params + global batch, identical in
+    every process (no RNG state dependence beyond the fixed key)."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig, TransformerConfig)
+    from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
+        TransformerStack)
+
+    cfg = TransformerConfig(
+        num_blocks=2,
+        attention=AttentionConfig(num_heads=2, qkv_features=16,
+                                  dropout_rate=0.0),
+        mlp_dim=32, dropout_rate=0.0)
+    stack = TransformerStack(cfg)
+    x_global = (np.arange(8 * 6 * 16, dtype=np.float32)
+                .reshape(8, 6, 16) % 7) / 7.0
+    params = stack.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x_global))["params"]
+    return stack, params, x_global
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_data_parallel_matches_single_process(tmp_path):
+    if os.environ.get("TPU_LANE") == "1":
+        pytest.skip("multi-process CPU test; lane runs the TPU backend")
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER % {"root": ROOT})
+    port = _free_port()
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_ENABLE_COMPILATION_CACHE="false")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, loss, gnorm = line.split()
+                results[int(pid)] = (float(loss), float(gnorm))
+    assert set(results) == {0, 1}, results
+    # both controllers computed the same replicated loss/grad-norm
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+    # single-process reference on the conftest backend: same batch, no mesh
+    stack, params, x_global = build_problem()
+    out = stack.apply({"params": params}, jnp.asarray(x_global))
+    loss_ref = float(jnp.mean(jnp.square(out)))
+    grads = jax.grad(lambda p: jnp.mean(jnp.square(
+        stack.apply({"params": p}, jnp.asarray(x_global)))))(params)
+    gnorm_ref = float(jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                                   for g in jax.tree.leaves(grads))))
+    np.testing.assert_allclose(results[0], (loss_ref, gnorm_ref),
+                               rtol=2e-5)
