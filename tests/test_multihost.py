@@ -133,3 +133,85 @@ def test_two_process_data_parallel_matches_single_process(tmp_path):
                                    for g in jax.tree.leaves(grads))))
     np.testing.assert_allclose(results[0], (loss_ref, gnorm_ref),
                                rtol=2e-5)
+
+
+DATA_WORKER = textwrap.dedent("""
+    import sys
+    pid, port, rec_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    import jax
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, %(root)r)
+    from multi_modal_transformers_tokenmerge_tpu.utils.recordio import (
+        RecordReader)
+
+    # per-process DISJOINT shard of the same dataset — the multi-host
+    # input-pipeline contract (shard_id=jax.process_index())
+    reader = RecordReader(rec_path, batch_size=4, shuffle_seed=7,
+                          shard_id=pid, num_shards=2, backend="numpy")
+    batch = next(reader)
+    local = np.asarray(batch["x"], np.float32)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local, (8, local.shape[1]))
+    w = jnp.asarray(np.linspace(-1.0, 1.0, local.shape[1]), jnp.float32)
+    loss = jax.jit(lambda x, w: jnp.mean(jnp.square(x @ w)))(x, w)
+    print("DATA_RESULT", pid, repr(float(loss.addressable_data(0))),
+          flush=True)
+""")
+
+
+def test_two_process_sharded_reader_feeds_global_batch(tmp_path):
+    """Full multi-host input pipeline: each process reads its DISJOINT
+    RecordReader shard (shard_id=process_index) and contributes it as the
+    process-local piece of one global batch; the jitted global loss must
+    equal the single-process value over the union of both shards."""
+    from multi_modal_transformers_tokenmerge_tpu.utils.recordio import (
+        RecordReader, write_records)
+
+    if os.environ.get("TPU_LANE") == "1":
+        pytest.skip("multi-process CPU test; lane runs the TPU backend")
+
+    rng = np.random.default_rng(3)
+    rec = tmp_path / "data.rec"
+    write_records(str(rec), ({"x": rng.normal(size=(24,))
+                              .astype(np.float32)} for _ in range(32)))
+
+    worker = tmp_path / "data_worker.py"
+    worker.write_text(DATA_WORKER % {"root": ROOT})
+    port = _free_port()
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_ENABLE_COMPILATION_CACHE="false")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(port), str(rec)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        for line in out.splitlines():
+            if line.startswith("DATA_RESULT"):
+                _, pid, loss = line.split()
+                results[int(pid)] = float(loss)
+    assert set(results) == {0, 1}, results
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+    # single-process reference: the same two shards' first batches
+    rows = []
+    for pid in range(2):
+        r = RecordReader(str(rec), batch_size=4, shuffle_seed=7,
+                         shard_id=pid, num_shards=2, backend="numpy")
+        rows.append(np.asarray(next(r)["x"], np.float32))
+    x = np.concatenate(rows)
+    w = np.linspace(-1.0, 1.0, x.shape[1]).astype(np.float32)
+    loss_ref = float(np.mean((x @ w) ** 2))
+    np.testing.assert_allclose(results[0], loss_ref, rtol=2e-5)
