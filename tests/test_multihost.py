@@ -215,3 +215,83 @@ def test_two_process_sharded_reader_feeds_global_batch(tmp_path):
     w = np.linspace(-1.0, 1.0, x.shape[1]).astype(np.float32)
     loss_ref = float(np.mean((x @ w) ** 2))
     np.testing.assert_allclose(results[0], loss_ref, rtol=2e-5)
+
+
+CKPT_WORKER = textwrap.dedent("""
+    import sys
+    pid, port, ckdir, phase = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
+                               sys.argv[4])
+    import jax
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, %(root)r)
+    from multi_modal_transformers_tokenmerge_tpu.train.checkpoint import (
+        CheckpointManager)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    local = (np.arange(4 * 16, dtype=np.float32).reshape(4, 16)
+             + 1000 * pid)
+    mgr = CheckpointManager(ckdir, max_to_keep=2)
+    if phase == "save":
+        arr = jax.make_array_from_process_local_data(sh, local, (8, 16))
+        scalar = jax.device_put(jnp.float32(3.5), repl)
+        mgr.save(7, {"w": arr, "step_v": scalar})
+        mgr.wait()
+        print("CKPT_SAVED", pid, flush=True)
+    else:
+        tgt = {"w": jax.ShapeDtypeStruct((8, 16), np.float32, sharding=sh),
+               "step_v": jax.ShapeDtypeStruct((), np.float32,
+                                              sharding=repl)}
+        restored = mgr.restore(7, abstract_state=tgt)
+        # every process must get back exactly ITS shard rows
+        got = np.concatenate([
+            np.asarray(restored["w"].addressable_data(d))
+            for d in range(jax.local_device_count())])
+        assert np.array_equal(got, local), (got[:, 0], local[:, 0])
+        print("CKPT_RESTORED", pid,
+              repr(float(restored["step_v"].addressable_data(0))),
+              flush=True)
+""")
+
+
+def _run_two(script_path, args, env):
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, str(script_path), str(pid), str(port), *args],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        outs.append(out)
+    return "\n".join(outs)
+
+
+def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
+    """Multi-controller orbax: two coordinated processes save one SHARDED
+    train state (each owning half the rows), a fresh two-process session
+    restores it into the same sharding, and every process must receive
+    exactly its own shard back plus the replicated scalar."""
+    if os.environ.get("TPU_LANE") == "1":
+        pytest.skip("multi-process CPU test; lane runs the TPU backend")
+    worker = tmp_path / "ckpt_worker.py"
+    worker.write_text(CKPT_WORKER % {"root": ROOT})
+    ckdir = tmp_path / "ck"
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_ENABLE_COMPILATION_CACHE="false")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    out_save = _run_two(worker, [str(ckdir), "save"], env)
+    assert out_save.count("CKPT_SAVED") == 2, out_save
+    out_restore = _run_two(worker, [str(ckdir), "restore"], env)
+    assert out_restore.count("CKPT_RESTORED") == 2, out_restore
+    assert out_restore.count("3.5") == 2, out_restore
