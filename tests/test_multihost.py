@@ -295,3 +295,136 @@ def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
     out_restore = _run_two(worker, [str(ckdir), "restore"], env)
     assert out_restore.count("CKPT_RESTORED") == 2, out_restore
     assert out_restore.count("3.5") == 2, out_restore
+
+
+TRAIN_WORKER = textwrap.dedent("""
+    import sys
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    import jax
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, %(root)r)
+    import optax
+    from tests.test_multihost import build_octo_problem
+    from multi_modal_transformers_tokenmerge_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, param_shardings)
+    from multi_modal_transformers_tokenmerge_tpu.train.state import (
+        create_train_state)
+    from multi_modal_transformers_tokenmerge_tpu.train.steps import (
+        make_train_step)
+
+    model, variables, rngs, text, images, actions = build_octo_problem()
+    mesh = make_mesh(data=8, model=1, devices=jax.devices())
+    state = create_train_state(model, variables, optax.adamw(1e-3),
+                               rngs=rngs)
+    shardings = param_shardings(state.params, mesh, model_parallel=False,
+                                fsdp=False)
+    state = state.replace(
+        params=jax.tree.map(jax.device_put, state.params, shardings),
+        opt_state=jax.device_put(
+            state.opt_state, NamedSharding(mesh, P())))
+    bs = batch_sharding(mesh)
+    lo, hi = pid * 4, (pid + 1) * 4  # process-LOCAL half of the batch
+    put = lambda a: jax.make_array_from_process_local_data(
+        bs, np.asarray(a[lo:hi]), a.shape)
+    step = make_train_step("continuous")
+    state, loss = step(state, put(text), put(images), put(actions))
+    pnorm = jnp.sqrt(sum(jnp.sum(jnp.square(p.astype(jnp.float32)))
+                         for p in jax.tree.leaves(state.params)))
+    print("TRAIN_RESULT", pid, repr(float(loss.addressable_data(0))),
+          repr(float(jax.device_get(pnorm))), flush=True)
+""")
+
+
+def build_octo_problem():
+    """Tiny full-Octo continuous-head training problem, deterministic and
+    identical in every process."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        AttentionConfig, ContinuousHeadConfig, HeadsConfig,
+        ImageTokenizerConfig, OctoConfig, ResNetEmbedderConfig,
+        TextEncoderConfig, TransformerConfig)
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+
+    cfg = OctoConfig(
+        input_sequence="[TaskDescriptionPrefix{4}] [Image{4};Readout{2}]",
+        token_embedding_dim=32,
+        num_observation_blocks=1,
+        tokens_per_readout=2,
+        text=TextEncoderConfig(kind="embed", vocab_size=64, max_length=4,
+                               embedding_dim=32),
+        images=ImageTokenizerConfig(
+            image_size=(64, 64, 3), patch_size=32, position_interval=16,
+            embedding_dim=32,
+            resnet=ResNetEmbedderConfig(
+                num_blocks=1, features=8, input_kernel=(8, 8),
+                input_stride=(4, 4), group_norm_groups=4,
+                output_features=32)),
+        transformer=TransformerConfig(
+            num_blocks=2,
+            attention=AttentionConfig(num_heads=2, qkv_features=32),
+            mlp_dim=64),
+        heads=HeadsConfig(continuous=ContinuousHeadConfig(
+            max_action=1.0, action_space_dim=4)),
+    )
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = np.ones((8, 4), dtype=np.int32)
+    images = ((np.arange(8 * 64 * 64 * 3, dtype=np.float32)
+               .reshape(8, 64, 64, 3) % 255))
+    actions = np.tile(np.linspace(-0.5, 0.5, 4, dtype=np.float32), (8, 1))
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        jnp.asarray(text), jnp.asarray(images))
+    rngs = {"dropout": keys[2], "patch_encoding": keys[1]}
+    return model, variables, rngs, text, images, actions
+
+
+def test_two_process_octo_train_step_matches_single_process(tmp_path):
+    """Capstone multi-host check: one donated jitted Octo train step
+    (continuous head) over a REAL two-process mesh, each process feeding
+    its local half of the batch.  Loss and the updated-parameter global
+    norm must match the identical step on the single-process 8-device
+    backend."""
+    import optax
+
+    from multi_modal_transformers_tokenmerge_tpu.train.state import (
+        create_train_state)
+    from multi_modal_transformers_tokenmerge_tpu.train.steps import (
+        make_train_step)
+
+    if os.environ.get("TPU_LANE") == "1":
+        pytest.skip("multi-process CPU test; lane runs the TPU backend")
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(TRAIN_WORKER % {"root": ROOT})
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_ENABLE_COMPILATION_CACHE="false")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = _run_two(worker, [], env)
+
+    results = {}
+    for line in out.splitlines():
+        if line.startswith("TRAIN_RESULT"):
+            _, pid, loss, pnorm = line.split()
+            results[int(pid)] = (float(loss), float(pnorm))
+    assert set(results) == {0, 1}, out
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+    # single-process reference (conftest 8-device backend, unsharded)
+    model, variables, rngs, text, images, actions = build_octo_problem()
+    state = create_train_state(model, variables, optax.adamw(1e-3),
+                               rngs=rngs)
+    step = make_train_step("continuous")
+    state, loss = step(state, jnp.asarray(text), jnp.asarray(images),
+                       jnp.asarray(actions))
+    pnorm = float(jnp.sqrt(sum(
+        jnp.sum(jnp.square(p.astype(jnp.float32)))
+        for p in jax.tree.leaves(state.params))))
+    np.testing.assert_allclose(results[0], (float(loss), pnorm),
+                               rtol=2e-5)
