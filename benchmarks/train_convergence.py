@@ -130,38 +130,54 @@ def main_deep_tome():
         rng.uniform(-0.9, 0.9, (POOL, BATCH, ACTION_DIM)),
         dtype=jnp.float32)
 
+    mode = os.environ.get("CONV_COMPRESSION", "merge")  # 'merge' | 'prune'
     tome_cfg = octo_deep(dtype="bfloat16")
+    if mode != "merge":
+        tome_cfg = tome_cfg.replace(
+            transformer=tome_cfg.transformer.replace(compression_mode=mode))
     vanilla_cfg = tome_cfg.replace(
         compression_sequence=None,
         transformer=tome_cfg.transformer.replace(compression_mode="none"))
 
     detail = {"batch": BATCH, "pool_examples": POOL * BATCH,
               "preset": "octo_deep", "steps": STEPS,
+              "compression_mode": mode,
               "device": jax.devices()[0].device_kind}
     detail["tome"] = run_head("continuous", pool_images, text,
                               actions_pool, cfg=tome_cfg)
     detail["vanilla"] = run_head("continuous", pool_images, text,
                                  actions_pool, cfg=vanilla_cfg)
 
-    # ToMe must (a) clearly converge on the memorization task — the 200M
-    # 12-block model needs far more steps than octo_base for a 10x drop,
-    # so the deep gate is a 2x reduction with a still-descending curve —
+    # Gate (merge mode): ToMe must (a) clearly converge on the
+    # memorization task — the 200M 12-block model needs far more steps
+    # than octo_base for a 10x drop, so the deep gate is a 2x reduction —
     # and (b) match or beat the uncompressed model's loss at matched
-    # steps (measured: ToMe converges FASTER here, 3.69 vs 6.22 at 480)
+    # steps (measured: merge converges FASTER, 3.68 vs 6.22 at 480/960).
+    # Prune mode is recorded WITHOUT the quality gate: the measured
+    # finding (train_convergence_deep_prune_r4.json) is that norm-based
+    # pruning at 32 tokens/set/event trains stably and gets the same
+    # 1.44x step speedup but converges WORSE than vanilla (7.80 vs 6.22
+    # at 480) — merge is the recommended compressor; the prune artifact
+    # documents why.
     t, v = detail["tome"], detail["vanilla"]
-    ok = (t["reduction_factor"] >= 2.0
-          and t["final_segment_loss"] <= 1.2 * v["final_segment_loss"]
-          + 1e-4)
-    out = {"metric": "train_convergence_octo_deep_tome",
+    if mode == "merge":
+        ok = (t["reduction_factor"] >= 2.0
+              and t["final_segment_loss"] <= 1.2 * v["final_segment_loss"]
+              + 1e-4)
+    else:
+        ok = (np.isfinite(t["final_segment_loss"])
+              and t["final_segment_loss"] < t["segment_mean_loss"][1])
+    out = {"metric": f"train_convergence_octo_deep_{mode}",
            "value": t["reduction_factor"],
-           "unit": "first/final loss ratio (ToMe, continuous head)",
+           "unit": "first/final loss ratio (compressed, continuous head)",
            "vs_baseline": round(
                t["steady_steps_per_sec_wall"]
                / max(v["steady_steps_per_sec_wall"], 1e-9), 3),
            "detail": detail}
     line = json.dumps(out)
+    suffix = "" if mode == "merge" else f"_{mode}"
     path = os.path.join(ROOT, "benchmarks", "recorded",
-                        f"train_convergence_deep_r{ROUND}.json")
+                        f"train_convergence_deep{suffix}_r{ROUND}.json")
     with open(path, "w") as f:
         f.write(line + "\n")
     print(line)
