@@ -53,8 +53,17 @@ def main():
         events = (cfg.transformer.num_blocks
                   // cfg.transformer.tome_merge_every)
         final_tokens = 224 - (events - 1) * 2 * shed
-        r = run_head("continuous", pool_images, text, actions_pool,
-                     cfg=cfg)
+        try:
+            r = run_head("continuous", pool_images, text, actions_pool,
+                         cfg=cfg)
+        except ValueError as e:
+            # bipartite matching caps r at half the (already-shrunk) set:
+            # shed > ~set/3 is structurally invalid at 2 events — record
+            # the bound instead of dying
+            points[f"shed_{shed}"] = {"invalid": str(e)}
+            print(f"[shed] {shed}: invalid ({e})", file=sys.stderr,
+                  flush=True)
+            continue
         points[f"shed_{shed}"] = {
             "tokens_after_merges": final_tokens,
             "final_loss": r["final_segment_loss"],
@@ -65,8 +74,12 @@ def main():
               f"{r['steady_steps_per_sec_wall']} steps/s", file=sys.stderr,
               flush=True)
 
+    valid = {k: v for k, v in points.items() if "final_loss" in v}
+    mid_key = (f"shed_{POINTS[len(POINTS)//2]}"
+               if f"shed_{POINTS[len(POINTS)//2]}" in valid
+               else next(iter(valid)))
     out = {"metric": "tome_shed_rate_tradeoff_octo_deep",
-           "value": points[f"shed_{POINTS[len(POINTS)//2]}"]["final_loss"],
+           "value": valid[mid_key]["final_loss"],
            "unit": "final memorization loss at the default shed rate",
            "vs_baseline": 1.0,
            "detail": {"batch": BATCH, "steps_schedule": "train_convergence",
