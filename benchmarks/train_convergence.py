@@ -53,7 +53,8 @@ def run_head(head: str, pool_images, text, actions_pool, cfg=None):
     if cfg is None:
         cfg = load_config("octo_base", ["dtype=bfloat16"])
     model = Octo(cfg)
-    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    keys = jax.random.split(
+        jax.random.PRNGKey(int(os.environ.get("CONV_SEED", "11"))), 4)
     variables = jax.jit(model.init)(
         {"params": keys[0], "patch_encoding": keys[1],
          "dropout": keys[2], "diffusion": keys[3]},
@@ -176,6 +177,10 @@ def main_deep_tome():
            "detail": detail}
     line = json.dumps(out)
     suffix = "" if mode == "merge" else f"_{mode}"
+    seed = os.environ.get("CONV_SEED", "11")
+    if seed != "11":
+        suffix += f"_seed{seed}"
+        detail["seed"] = int(seed)
     path = os.path.join(ROOT, "benchmarks", "recorded",
                         f"train_convergence_deep{suffix}_r{ROUND}.json")
     with open(path, "w") as f:
