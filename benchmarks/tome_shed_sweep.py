@@ -75,6 +75,8 @@ def main():
               flush=True)
 
     valid = {k: v for k, v in points.items() if "final_loss" in v}
+    if not valid:
+        raise SystemExit(f"no valid shed points among {POINTS}: {points}")
     mid_key = (f"shed_{POINTS[len(POINTS)//2]}"
                if f"shed_{POINTS[len(POINTS)//2]}" in valid
                else next(iter(valid)))
