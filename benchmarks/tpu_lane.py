@@ -65,11 +65,19 @@ def main():
     # CPU runs these in interpret mode; here the Mosaic-compiled kernel
     # (incl. first-match tie routing) is validated on hardware
     pool = run_hardware_tests("test_pool_vjp.py", "pool backward")
+    # the CPU suite runs the int8/w8 dots through XLA:CPU; here the MXU
+    # byte path (int8 x int8 -> int32) and the w8 dequant-operand fusion
+    # are validated on the real chip
+    quant = run_hardware_tests("test_quantize.py", "quantized text tower")
+    quant_img = run_hardware_tests("test_quantize_image.py",
+                                   "quantized image tower")
     perf = run_flash_perf()
     speedup = perf.get("forward_flash_speedup", 0.0) or 0.0
     ok = (not dropout["failed"] and dropout["passed"] >= 5
           and not sampler["failed"] and sampler["passed"] >= 6
           and not pool["failed"] and pool["passed"] >= 14
+          and not quant["failed"] and quant["passed"] >= 9
+          and not quant_img["failed"] and quant_img["passed"] >= 9
           and speedup >= MIN_SPEEDUP)
     out = {
         "metric": "tpu_hardware_lane",
@@ -80,6 +88,8 @@ def main():
             "dropout_kernel_tests": dropout,
             "fused_sampler_tests": sampler,
             "pool_backward_tests": pool,
+            "quantized_text_tower_tests": quant,
+            "quantized_image_tower_tests": quant_img,
             "flash_op_perf": perf,
             "min_forward_speedup_required": MIN_SPEEDUP,
         },

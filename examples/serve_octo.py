@@ -26,9 +26,11 @@ def main():
     p.add_argument("--head", default="continuous")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--requests", type=int, default=16)
-    p.add_argument("--image-tower", default="bf16", choices=["bf16", "int8"],
+    p.add_argument("--image-tower", default="bf16",
+                   choices=["bf16", "int8", "w8"],
                    help="int8: PTQ patch embedder (serve/quantize.py)")
-    p.add_argument("--text-tower", default="bf16", choices=["bf16", "int8"],
+    p.add_argument("--text-tower", default="bf16",
+                   choices=["bf16", "int8", "w8"],
                    help="int8: PTQ frozen T5 instruction encoder — pays "
                         "for uncached-instruction b1 serving (t5 presets "
                         "only; BASELINE.md regime table)")

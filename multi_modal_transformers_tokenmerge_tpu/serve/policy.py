@@ -46,17 +46,22 @@ class PolicyEngine:
         runs each shard on its own chip — ``batch_size`` then means the
         GLOBAL batch and must divide by the data-axis size.
 
-        ``image_tower``: 'bf16' (the model's own encoder) or 'int8' — the
-        post-training-quantized patch embedder (serve/quantize.py),
-        routed through the ``*_with_modalities`` model methods.  A serving
-        approximation: actions track the float tower to a few percent.
+        ``image_tower``: 'bf16' (the model's own encoder), 'int8' (the
+        post-training-quantized patch embedder, int8 weights AND
+        activations — the MXU 2x byte path), or 'w8' (weight-only int8:
+        kernels stored int8, dequantized into bf16 compute at call time —
+        the batch-1 weight-read-bound regime; tracks the float tower to
+        weight-rounding error only).  Both quantized modes route through
+        the ``*_with_modalities`` model methods (serve/quantize.py).
 
-        ``text_tower``: 'bf16' or 'int8' — the quantized frozen T5 tower
-        for instruction encoding (set_instruction / encode_instruction).
-        Pays in the UNCACHED-instruction batch-1 regime (measured
-        1.29-1.40x on v5e, BASELINE.md round-4 regime table); with
-        instruction caching on (the default) it only changes cache-miss
-        latency.  Requires a t5-kind text encoder."""
+        ``text_tower``: 'bf16', 'int8' or 'w8' — the quantized frozen T5
+        tower for instruction encoding (set_instruction /
+        encode_instruction).  Pays in the UNCACHED-instruction batch-1
+        regime (int8 measured 1.29-1.40x on v5e, BASELINE.md regime
+        table; 'w8' stores kernels int8 but computes in bf16 — no
+        activation-quantization error); with instruction caching on (the
+        default) it only changes cache-miss latency.  Requires a t5-kind
+        text encoder."""
         if head not in _PREDICT_METHODS:
             raise ValueError(
                 f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
@@ -84,11 +89,12 @@ class PolicyEngine:
                     f"mesh data axis ({data_size})")
             self._batch_sharding = batch_sharding(mesh)
             self.variables = jax.device_put(variables, replicated(mesh))
-        if image_tower not in ("bf16", "int8"):
+        if image_tower not in ("bf16", "int8", "w8"):
             raise ValueError(
-                f"unknown image_tower {image_tower!r}; 'bf16' or 'int8'")
+                f"unknown image_tower {image_tower!r}; 'bf16', 'int8' or "
+                f"'w8'")
         self.image_tower = image_tower
-        if image_tower == "int8":
+        if image_tower in ("int8", "w8"):
             from .quantize import quantize_image_tower
             qp = quantize_image_tower(model, self.variables)
             if mesh is not None:
@@ -99,16 +105,17 @@ class PolicyEngine:
             self._serve_vars = {"model": self.variables, "img_q": qp}
         else:
             self._serve_vars = self.variables
-        if text_tower not in ("bf16", "int8"):
+        if text_tower not in ("bf16", "int8", "w8"):
             raise ValueError(
-                f"unknown text_tower {text_tower!r}; 'bf16' or 'int8'")
+                f"unknown text_tower {text_tower!r}; 'bf16', 'int8' or "
+                f"'w8'")
         self.text_tower = text_tower
         self._text_qp = None
-        if text_tower == "int8":
+        if text_tower in ("int8", "w8"):
             if model.config.text.kind != "t5":
                 raise ValueError(
-                    f"text_tower='int8' requires a t5 text encoder, got "
-                    f"{model.config.text.kind!r}")
+                    f"text_tower={text_tower!r} requires a t5 text "
+                    f"encoder, got {model.config.text.kind!r}")
             from .quantize import quantize_t5_params
             self._text_qp = quantize_t5_params(
                 self.variables["params"]["text_encoder"]["t5_encoder"])
@@ -229,16 +236,17 @@ class PolicyEngine:
 
     def _encode_text_fn(self):
         if "encode_text" not in self._jit_cache:
-            if self.text_tower == "int8":
+            if self.text_tower != "bf16":
                 from .quantize import t5_encode_int8
                 tcfg = self.model.config.text
                 dtype = self.model.config.compute_dtype
+                mode = self.text_tower
                 # qp is a jit ARGUMENT: the 110M-param tower as a closed
                 # const would blow the remote-compile request size limit
                 f = jax.jit(lambda qp, t: t5_encode_int8(
                     qp, t, rel_pos_buckets=tcfg.t5_rel_pos_buckets,
                     rel_pos_max_distance=tcfg.t5_rel_pos_max_distance,
-                    dtype=dtype))
+                    dtype=dtype, mode=mode))
                 self._jit_cache["encode_text"] = (
                     lambda v, t: f(self._text_qp, t))
             else:
@@ -271,11 +279,9 @@ class PolicyEngine:
         """Tokens + images -> action, routing through the configured
         image tower."""
         rngs = self._rngs(key)
-        if self.image_tower == "int8":
-            from .quantize import image_embed_int8
+        if self.image_tower != "bf16":
             v, qp = serve_vars["model"], serve_vars["img_q"]
-            emb = image_embed_int8(qp, images, self.model.config.images,
-                                   dtype=self.model.config.compute_dtype)
+            emb = self._embed_images_q(qp, images)
             text_emb = self.model.apply(v, text_tokens,
                                         method="encode_text")
             return self.model.apply(v, text_emb, emb, rngs=rngs,
@@ -283,14 +289,19 @@ class PolicyEngine:
         return self.model.apply(serve_vars, text_tokens, images, rngs=rngs,
                                 method=_PREDICT_METHODS[self.head])
 
+    def _embed_images_q(self, qp, images):
+        from .quantize import image_embed_int8, image_embed_w8
+        embed = image_embed_w8 if self.image_tower == "w8" \
+            else image_embed_int8
+        return embed(qp, images, self.model.config.images,
+                     dtype=self.model.config.compute_dtype)
+
     def _predict_cached(self, serve_vars, text_embeddings, images, key):
         """Cached text embeddings + images -> action."""
         rngs = self._rngs(key)
-        if self.image_tower == "int8":
-            from .quantize import image_embed_int8
+        if self.image_tower != "bf16":
             v, qp = serve_vars["model"], serve_vars["img_q"]
-            emb = image_embed_int8(qp, images, self.model.config.images,
-                                   dtype=self.model.config.compute_dtype)
+            emb = self._embed_images_q(qp, images)
             return self.model.apply(v, text_embeddings, emb, rngs=rngs,
                                     method=self._head_readouts_method())
         return self.model.apply(serve_vars, text_embeddings, images,

@@ -33,8 +33,9 @@ from ..ops.image_ops import eval_position_tokens, patchify
 
 __all__ = ["QTensor", "quantize_matrix", "int8_matmul",
            "quantize_t5_params", "t5_encode_int8", "make_int8_text_encoder",
-           "quantize_image_tower", "image_embed_int8",
-           "make_int8_image_embedder"]
+           "quantize_image_tower", "image_embed_int8", "image_embed_w8",
+           "make_int8_image_embedder", "make_w8_image_embedder",
+           "dequant", "matmul_w8", "matmul_w8_tn"]
 
 
 @flax.struct.dataclass
@@ -69,6 +70,25 @@ def int8_matmul(a: jax.Array, w: QTensor) -> jax.Array:
         qa, w.q, (((a.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * a_scale * w.scale
+
+
+def matmul_w8(a: jax.Array, w: QTensor,
+              compute_dtype=jnp.bfloat16) -> jax.Array:
+    """``a @ w`` with an int8-STORED kernel dequantized at call time
+    (weight-only quantization): a (..., K) float x (K, N) int8 ->
+    (..., N) float32.
+
+    The batch-1 counterpart of :func:`int8_matmul`: at b1 the T5 tower's
+    GEMMs are weight-read-bound, so fetching kernels as int8 halves their
+    HBM traffic while activations stay float — no activation-quantization
+    error and none of the per-call quant/dequant VPU work.  int8 values
+    (<=127) are exact in bf16; the per-output-channel scale applies to
+    the output, identical to scaling the kernel."""
+    acc = jax.lax.dot_general(
+        a.astype(compute_dtype), w.q.astype(compute_dtype),
+        (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return acc * w.scale
 
 
 def _q2d(kernel, k_dim: int) -> QTensor:
@@ -125,7 +145,8 @@ def _rmsnorm(x, scale, epsilon=1e-6):
 
 def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
                    rel_pos_max_distance: int = 128,
-                   dtype=jnp.bfloat16, unroll=True) -> jax.Array:
+                   dtype=jnp.bfloat16, unroll=True,
+                   mode: str = "int8") -> jax.Array:
     """Quantized mirror of ``T5EncoderStack.__call__`` (modules/t5.py).
 
     Head geometry comes from array SHAPES (static even when the whole
@@ -134,7 +155,18 @@ def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
     float tower's full scan unroll (t5_scan_unroll=0 in the preset): at
     T=16 the per-layer matmuls are tiny and the rolled scan's dispatch
     dominated the r3 int8 tower's losing 0.80x.
+
+    ``mode='int8'`` quantizes activations too (int8 x int8 MXU dots);
+    ``mode='w8'`` is weight-only — kernels stored int8 but dequantized
+    into ``dtype`` compute (:func:`matmul_w8`), no activation error.
     """
+    if mode == "int8":
+        mm = int8_matmul
+    elif mode == "w8":
+        def mm(a, w):
+            return matmul_w8(a, w, compute_dtype=dtype)
+    else:
+        raise ValueError(f"unknown mode {mode!r}; 'int8' or 'w8'")
     h = qparams["relative_attention_bias"].shape[-1]
     dkv = qparams["layers"]["qkv"].q.shape[-1] // (3 * h)
     b, t = token_ids.shape
@@ -153,19 +185,19 @@ def t5_encode_int8(qparams, token_ids, *, rel_pos_buckets: int = 32,
         y = _rmsnorm(x, layer["attn_norm"]).astype(dtype)
         # one fused int8 qkv matmul (mirrors the float tower's fused
         # projection, modules/t5.py): (B, T, 3, H, D)
-        qkv = int8_matmul(y, layer["qkv"]).reshape(b, t, 3, h, dkv)
+        qkv = mm(y, layer["qkv"]).reshape(b, t, 3, h, dkv)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits + position_bias.astype(jnp.float32)
         weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(dtype))
-        out = int8_matmul(out.reshape(b, t, h * dkv), layer["o"])
+        out = mm(out.reshape(b, t, h * dkv), layer["o"])
         x = x + out.astype(dtype)
 
         y = _rmsnorm(x, layer["mlp_norm"]).astype(dtype)
-        y = jnp.maximum(int8_matmul(y, layer["wi"]), 0.0).astype(dtype)
-        y = int8_matmul(y, layer["wo"])
+        y = jnp.maximum(mm(y, layer["wi"]), 0.0).astype(dtype)
+        y = mm(y, layer["wo"])
         return (x + y.astype(dtype)), None
 
     x, _ = jax.lax.scan(block, x, qparams["layers"], unroll=unroll)
@@ -228,6 +260,45 @@ def int8_matmul_tn(a, w: QTensor) -> jax.Array:
     return acc.astype(jnp.float32) * a_scale[:, None] * w.scale[None, :]
 
 
+def dequant(w: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """int8-stored tensor -> float, per-output-channel scales (last axis)."""
+    return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
+
+
+def conv_w8_hwcn(x, w: QTensor, strides, padding,
+                 compute_dtype=jnp.bfloat16) -> jax.Array:
+    """(H, W, C, N) conv with an int8-STORED kernel dequantized at call
+    time (weight-only quantization): compute runs in ``compute_dtype``
+    exactly like the float tower, output float32.  The embedder's conv
+    kernels are tiny (~30 KB) so the dequant is free; the mode exists for
+    footprint symmetry with the dense below."""
+    k = dequant(w, compute_dtype)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k.shape, ("HWCN", "HWIO", "HWCN"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), k, strides, padding,
+        dimension_numbers=dn, preferred_element_type=compute_dtype)
+    return y.astype(jnp.float32)
+
+
+def matmul_w8_tn(a, w: QTensor, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """(K, N) float activations x int8-STORED (K, M) kernel -> (N, M)
+    float32 (TN dot, contraction on dim 0).
+
+    Weight-only quantization for the weight-read-bound batch-1 regime:
+    the kernel is fetched from HBM as int8 (half the bytes of bf16 — at
+    octo_base's 28224x768 dense that is 21.7 MB/call saved) and converted
+    tile-by-tile inside the dot's operand fusion; activations stay float,
+    so there is no activation-quantization error.  The per-output-channel
+    scale is applied to the (N, M) OUTPUT — mathematically identical to
+    scaling the kernel, without materializing a float copy of it."""
+    acc = jax.lax.dot_general(a.astype(compute_dtype),
+                              w.q.astype(compute_dtype),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return acc * w.scale[None, :]
+
+
 def quantize_image_tower(model, variables) -> dict:
     """Pre-quantize an Octo model's ImageTokenizer params for
     :func:`image_embed_int8`."""
@@ -258,11 +329,36 @@ def quantize_image_tower(model, variables) -> dict:
 def image_embed_int8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
     """Quantized eval-mode mirror of ``ImageTokenizer`` +
     ``ResNetV2Embedder._call_hwcn`` (modules/image_tokenizer.py): int8
-    convs/dense, float pool/GroupNorm/GELU, constant eval position tokens.
+    convs/dense (int8 activations too — the MXU's 2x byte path, the
+    batch-32 throughput regime), float pool/GroupNorm/GELU, constant eval
+    position tokens.
 
     cfg is the model's ``ImageTokenizerConfig``; images are
     (B, H, W, C) or (B, F, H, W, C) exactly as the float tower takes them.
     """
+    return _image_embed_q(qparams, images, cfg, dtype,
+                          int8_conv_hwcn, int8_matmul_tn)
+
+
+def image_embed_w8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
+    """Weight-only-int8 eval-mode mirror of the image tower: weights are
+    STORED int8 (same ``quantize_image_tower`` tree as the int8 mode) but
+    dequantized at call time and computed in bf16 — no activation
+    quantization, so the output tracks the float tower to weight-rounding
+    error only (~50x closer than the int8 mirror, tests/
+    test_quantize_image.py).
+
+    This is the BATCH-1 serving mode: at b1 the 28224x768 output dense is
+    weight-read-bound and fetching the kernel as int8 halves its HBM
+    traffic (measured 1.51x op-level on v5e, benchmarks/recorded/
+    int8_gemm_r4.json 'dequant' row); at batch 32 the dense is
+    compute-bound and bf16 stays (BASELINE.md regime table).
+    """
+    return _image_embed_q(qparams, images, cfg, dtype,
+                          conv_w8_hwcn, matmul_w8_tn)
+
+
+def _image_embed_q(qparams, images, cfg, dtype, conv_fn, matmul_fn):
     rcfg = cfg.resnet
     if images.ndim == 4:
         images = images[:, None]
@@ -274,8 +370,8 @@ def image_embed_int8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
     patches = patchify(images, p, cfg.normalize, dtype=jnp.float32)
     xt = jnp.transpose(patches.reshape(b * g, p, p, ch), (1, 2, 3, 0))
 
-    y = int8_conv_hwcn(xt, qparams["input_conv"],
-                       tuple(rcfg.input_stride), "VALID")
+    y = conv_fn(xt, qparams["input_conv"],
+                tuple(rcfg.input_stride), "VALID")
     y = y + qparams["input_bias"].astype(jnp.float32)[:, None]
     y = jax.lax.reduce_window(
         y, -jnp.inf, jax.lax.max, (*rcfg.pool_window, 1, 1),
@@ -291,12 +387,12 @@ def image_embed_int8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
         y = (y * blk["norm_scale"].astype(jnp.float32)[:, None]
              + blk["norm_bias"].astype(jnp.float32)[:, None])
         y = jax.nn.gelu(y)
-        y = int8_conv_hwcn(y, blk["conv"], (1, 1), "SAME")
+        y = conv_fn(y, blk["conv"], (1, 1), "SAME")
         y = y + blk["conv_bias"].astype(jnp.float32)[:, None]
     y = y + residual
 
     h2, w2, c2, bg = y.shape
-    out = int8_matmul_tn(y.reshape(h2 * w2 * c2, bg), qparams["dense"])
+    out = matmul_fn(y.reshape(h2 * w2 * c2, bg), qparams["dense"])
     out = out + qparams["dense_bias"].astype(jnp.float32)
     emb = out.reshape(b, g, rcfg.output_features)
 
@@ -316,6 +412,19 @@ def make_int8_image_embedder(model, variables, dtype=jnp.bfloat16):
 
     def embed(images):
         return image_embed_int8(qp, images, cfg, dtype=dtype)
+
+    return embed
+
+
+def make_w8_image_embedder(model, variables, dtype=jnp.bfloat16):
+    """Drop-in ``images -> (B, F*P, E)`` callable with weight-only-int8
+    storage (see :func:`image_embed_w8`) — the batch-1 serving variant of
+    :func:`make_int8_image_embedder`."""
+    qp = quantize_image_tower(model, variables)
+    cfg = model.config.images
+
+    def embed(images):
+        return image_embed_w8(qp, images, cfg, dtype=dtype)
 
     return embed
 

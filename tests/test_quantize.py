@@ -158,3 +158,68 @@ def test_policy_engine_int8_text_tower():
     with pytest.raises(ValueError, match="text_tower"):
         PolicyEngine(model, v, head="continuous", batch_size=2,
                      text_tower="fp8")
+
+
+def test_t5_w8_tracks_float_tower_tightly(tower):
+    """Weight-only mode: no activation quantization, so the w8 tower must
+    sit an order closer to float than the int8 mirror's 5% bound."""
+    stack, params, ids = tower
+    ref = np.asarray(stack.apply({"params": params}, ids), dtype=np.float32)
+    qp = quantize_t5_params(params)
+    out = np.asarray(
+        t5_encode_int8(qp, ids, rel_pos_buckets=8, rel_pos_max_distance=16,
+                       dtype=jnp.float32, mode="w8"), dtype=np.float32)
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    # random-init width-32 micro tower is the PTQ worst case (no
+    # central-limit averaging); trained/base-width towers measure tighter
+    assert rel < 0.03, rel
+    # and closer than the int8 output on the same inputs
+    out8 = np.asarray(
+        t5_encode_int8(qp, ids, rel_pos_buckets=8, rel_pos_max_distance=16,
+                       dtype=jnp.float32), dtype=np.float32)
+    rel8 = np.linalg.norm(out8 - ref) / np.linalg.norm(ref)
+    assert rel < rel8, (rel, rel8)
+
+
+def test_t5_encode_unknown_mode_rejected(tower):
+    _, params, ids = tower
+    qp = quantize_t5_params(params)
+    with pytest.raises(ValueError, match="mode"):
+        t5_encode_int8(qp, ids, rel_pos_buckets=8,
+                       rel_pos_max_distance=16, mode="fp4")
+
+
+def test_policy_engine_w8_text_tower():
+    """PolicyEngine(text_tower='w8'): weight-only tower slots into
+    instruction encoding and tracks the bf16 engine tighter than int8."""
+    from multi_modal_transformers_tokenmerge_tpu.core.config import (
+        TextEncoderConfig)
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    from multi_modal_transformers_tokenmerge_tpu.serve.policy import (
+        PolicyEngine)
+
+    from micro_configs import octo_micro
+
+    cfg = octo_micro()
+    cfg = cfg.replace(text=TextEncoderConfig(
+        kind="t5", vocab_size=64, max_length=4, embedding_dim=32,
+        t5_num_layers=2, t5_num_heads=2, t5_d_kv=16, t5_d_ff=64,
+        t5_rel_pos_buckets=8, t5_rel_pos_max_distance=16))
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    text = np.ones((1, 4), dtype=np.int32)
+    images = jnp.ones((2, 64, 64, 3))
+    v = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        jnp.asarray(text), images[:1])
+
+    eng_f = PolicyEngine(model, v, head="continuous", batch_size=2)
+    eng_w = PolicyEngine(model, v, head="continuous", batch_size=2,
+                         text_tower="w8")
+    eng_f.set_instruction(text)
+    eng_w.set_instruction(text)
+    a_f = np.asarray(eng_f(images))
+    a_w = np.asarray(eng_w(images))
+    np.testing.assert_allclose(a_w, a_f, rtol=0.02, atol=0.01)

@@ -147,3 +147,48 @@ def test_with_modalities_matches_with_text_float(model_and_vars):
                     method="predict_diffusion_action_with_text")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("frames", [None, 2])
+def test_w8_image_tower_tracks_float_tightly(model_and_vars, frames):
+    """Weight-only int8 (image_embed_w8): no activation quantization, so
+    the tower must track float to weight-rounding error — an order
+    tighter than the int8 mirror's 5% bound."""
+    from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
+        make_w8_image_embedder,
+    )
+    model, variables, _, _ = model_and_vars
+    shape = (2, 64, 64, 3) if frames is None else (2, frames, 64, 64, 3)
+    images = jax.random.uniform(jax.random.PRNGKey(7), shape) * 255.0
+
+    ref = model.apply(variables, images, train=False,
+                      method=lambda m, im, train: m.image_encoder(im, train))
+    got = make_w8_image_embedder(model, variables,
+                                 dtype=jnp.float32)(images)
+    assert got.shape == ref.shape
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.01, rel
+
+
+def test_policy_engine_w8_tower(model_and_vars):
+    from multi_modal_transformers_tokenmerge_tpu.serve.policy import (
+        PolicyEngine,
+    )
+    model, variables, text, images = model_and_vars
+
+    eng_f = PolicyEngine(model, variables, head="continuous", batch_size=2)
+    eng_w = PolicyEngine(model, variables, head="continuous", batch_size=2,
+                         image_tower="w8")
+    a_f = np.asarray(eng_f(images, text_tokens=text))
+    a_w = np.asarray(eng_w(images, text_tokens=text))
+    assert a_w.shape == a_f.shape
+    # weight-only quantization sits much closer to float than the int8
+    # tower's 0.1 action bound
+    assert np.max(np.abs(a_w - a_f)) < 0.05, np.max(np.abs(a_w - a_f))
+
+    # cached-instruction path agrees with the direct path (same tower)
+    eng_w.set_instruction(text)
+    cached = np.asarray(eng_w(images))
+    np.testing.assert_allclose(cached, a_w, rtol=1e-5, atol=1e-5)
