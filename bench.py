@@ -368,6 +368,12 @@ def compact_line(payload, fname):
         compact_detail["deep_tome"] = {
             "seq_per_sec": deep.get("sequences_per_sec_tome"),
             "speedup": deep.get("tome_speedup_vs_vanilla")}
+    i8t = d.get("int8_text_tower")
+    if isinstance(i8t, dict):
+        b1 = (i8t.get("tower_only_sweep") or {}).get("b1") or {}
+        if "w8_speedup" in b1:
+            compact_detail["text_tower_b1"] = {
+                k: b1[k] for k in ("int8_speedup", "w8_speedup")}
     compact = {k: payload[k] for k in ("metric", "value", "unit",
                                        "vs_baseline", "stale",
                                        "stale_reason") if k in payload}
@@ -468,13 +474,15 @@ def bench_int8_text(model_vars, images_stack, text, peak, bf16_entry):
         emb = model.apply(variables, t, method="encode_text")
         return jnp.sum(emb.astype(jnp.float32))
 
-    def tower_step_int8(i, qp, texts):
-        t = jax.lax.dynamic_index_in_dim(texts, i % 2, keepdims=False)
-        emb = t5_encode_int8(
-            qp, t, rel_pos_buckets=tcfg.t5_rel_pos_buckets,
-            rel_pos_max_distance=tcfg.t5_rel_pos_max_distance,
-            dtype=model.config.compute_dtype)
-        return jnp.sum(emb.astype(jnp.float32))
+    def tower_step_q(mode):
+        def step(i, qp, texts):
+            t = jax.lax.dynamic_index_in_dim(texts, i % 2, keepdims=False)
+            emb = t5_encode_int8(
+                qp, t, rel_pos_buckets=tcfg.t5_rel_pos_buckets,
+                rel_pos_max_distance=tcfg.t5_rel_pos_max_distance,
+                dtype=model.config.compute_dtype, mode=mode)
+            return jnp.sum(emb.astype(jnp.float32))
+        return step
 
     sweep = {}
     rng_t = np.random.default_rng(5)
@@ -483,15 +491,22 @@ def bench_int8_text(model_vars, images_stack, text, peak, bf16_entry):
                           dtype=text.dtype)
         s_bf = sec_per_call(build_loop(tower_step_bf16),
                             (variables, t_b), f"text_tower_bf16_b{bsz}")
-        s_i8 = sec_per_call(build_loop(tower_step_int8),
+        s_i8 = sec_per_call(build_loop(tower_step_q("int8")),
                             (qp, t_b), f"text_tower_int8_b{bsz}")
+        # w8 = weight-only int8 (round 5): the b1 recommendation —
+        # kernels fetched int8, bf16 compute, no activation-quant error
+        s_w8 = sec_per_call(build_loop(tower_step_q("w8")),
+                            (qp, t_b), f"text_tower_w8_b{bsz}")
         sweep[f"b{bsz}"] = {
             "bf16_ms": round(s_bf * 1e3, 3),
             "int8_ms": round(s_i8 * 1e3, 3),
             "int8_speedup": round(s_bf / s_i8, 3),
+            "w8_ms": round(s_w8 * 1e3, 3),
+            "w8_speedup": round(s_bf / s_w8, 3),
         }
         log(f"[bench] text tower b={bsz}: bf16 {s_bf*1e3:.3f} ms, "
-            f"int8 {s_i8*1e3:.3f} ms ({s_bf/s_i8:.2f}x)")
+            f"int8 {s_i8*1e3:.3f} ms ({s_bf/s_i8:.2f}x), "
+            f"w8 {s_w8*1e3:.3f} ms ({s_bf/s_w8:.2f}x)")
     out["tower_only_sweep"] = sweep
     return out
 
@@ -542,7 +557,7 @@ def bench_int8_image(model_vars, images_stack, peak, bf16_entry):
     of the model unchanged via predict_diffusion_action_with_modalities.
     Text embeddings cached (the serving configuration this targets)."""
     from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
-        image_embed_int8, quantize_image_tower)
+        image_embed_int8, image_embed_w8, quantize_image_tower)
 
     model, variables = model_vars
     icfg = model.config.images
@@ -580,10 +595,20 @@ def bench_int8_image(model_vars, images_stack, peak, bf16_entry):
                           method="predict_diffusion_action_with_modalities")
         return jnp.sum(out.astype(jnp.float32))
 
+    def tower_w8(i, qp, images_stack):
+        img = jax.lax.dynamic_index_in_dim(images_stack,
+                                           i % images_stack.shape[0],
+                                           keepdims=False)
+        out = image_embed_w8(qp, img, icfg,
+                             dtype=model.config.compute_dtype)
+        return jnp.sum(out.astype(jnp.float32))
+
     s_bf = sec_per_call(build_loop(tower_bf16), (variables, images_stack),
                         "img_tower_bf16")
     s_i8 = sec_per_call(build_loop(tower_int8), (qp, images_stack),
                         "img_tower_int8")
+    s_w8 = sec_per_call(build_loop(tower_w8), (qp, images_stack),
+                        "img_tower_w8")
     key = jax.random.PRNGKey(13)
     s_e2e = sec_per_call(build_loop(e2e_int8),
                          (variables, qp, text_emb, images_stack, key),
@@ -592,6 +617,8 @@ def bench_int8_image(model_vars, images_stack, peak, bf16_entry):
         "tower_bf16_ms": round(s_bf * 1e3, 3),
         "tower_int8_ms": round(s_i8 * 1e3, 3),
         "tower_speedup": round(s_bf / max(s_i8, 1e-9), 3),
+        "tower_w8_ms": round(s_w8 * 1e3, 3),
+        "tower_w8_speedup": round(s_bf / max(s_w8, 1e-9), 3),
         "e2e_int8_cachedtext_ms": round(s_e2e * 1e3, 3),
         "e2e_inf_per_sec": round(BATCH / s_e2e, 1),
     }
