@@ -34,24 +34,19 @@ def q_serve_step(model, embed_fn):
     icfg = model.config.images
     dtype = model.config.compute_dtype
 
-    def readouts_method(m, text_embeddings, image_embeddings):
-        ro = m.generate_readouts_with_modalities(text_embeddings,
-                                                 image_embeddings)
-        return m.diffusion_action_head.predict_action(ro, False)
-
     def step(i, sv, text_emb, images_stack, key):
         img = jax.lax.dynamic_index_in_dim(
             images_stack, i % images_stack.shape[0], keepdims=False)
         emb = embed_fn(sv["img_q"], img, icfg, dtype=dtype)
         rngs = {"diffusion": jax.random.fold_in(key, i)}
         out = model.apply(sv["model"], text_emb, emb, rngs=rngs,
-                          method=readouts_method)
+                          method="predict_diffusion_action_with_modalities")
         return jnp.sum(out.astype(jnp.float32))
 
     return step
 
 
-def measure(model, variables, qp, batch, peak):
+def measure(model, variables, qp, batch):
     from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
         image_embed_int8, image_embed_w8)
 
@@ -94,7 +89,9 @@ def main():
     from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
         quantize_image_tower)
 
-    peak, kind = device_peak_flops()
+    # slope-protocol timing (sec_per_call) is the tunnel-async guard here;
+    # no FLOP count is computed for these mixed arms, so no peak check
+    _, kind = device_peak_flops()
     log(f"[w8] device={kind}")
     cfg = load_config("octo_base", ["dtype=bfloat16"])
     model = Octo(cfg)
@@ -111,7 +108,7 @@ def main():
            "detail": {"device": kind, "batches": {}}}
     for batch in (1, 32):
         out["detail"]["batches"][f"b{batch}"] = measure(
-            model, variables, qp, batch, peak)
+            model, variables, qp, batch)
     b1 = out["detail"]["batches"]["b1"]
     out["value"] = b1["w8"]["ms_per_call"]
     out["vs_baseline"] = b1["w8"]["vs_bf16"]

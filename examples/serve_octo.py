@@ -28,12 +28,15 @@ def main():
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--image-tower", default="bf16",
                    choices=["bf16", "int8", "w8"],
-                   help="int8: PTQ patch embedder (serve/quantize.py)")
+                   help="PTQ patch embedder (serve/quantize.py): 'w8' "
+                        "weight-only int8 for batch-1 latency, 'int8' "
+                        "(activations too) for footprint at batch")
     p.add_argument("--text-tower", default="bf16",
                    choices=["bf16", "int8", "w8"],
-                   help="int8: PTQ frozen T5 instruction encoder — pays "
-                        "for uncached-instruction b1 serving (t5 presets "
-                        "only; BASELINE.md regime table)")
+                   help="PTQ frozen T5 instruction encoder — pays for "
+                        "uncached-instruction b1 serving ('w8' is the "
+                        "b1 recommendation; t5 presets only; BASELINE.md "
+                        "regime table)")
     args = p.parse_args()
 
     cfg = get_preset(args.preset)

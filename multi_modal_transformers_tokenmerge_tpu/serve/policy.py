@@ -324,7 +324,7 @@ class PolicyEngine:
             raise ValueError(
                 "exported policy artifacts serve the model's own (bf16) "
                 "image tower; build an image_tower='bf16' engine or "
-                "compile() the int8 engine in-process")
+                f"compile() the {self.image_tower} engine in-process")
         self._compiled = load_policy(blob_or_path)
         if cached_blob_or_path is not None:
             self._compiled_cached = load_policy(cached_blob_or_path)

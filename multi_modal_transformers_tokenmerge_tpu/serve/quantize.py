@@ -354,8 +354,10 @@ def image_embed_w8(qparams, images, cfg, dtype=jnp.bfloat16) -> jax.Array:
     int8_gemm_r4.json 'dequant' row); at batch 32 the dense is
     compute-bound and bf16 stays (BASELINE.md regime table).
     """
-    return _image_embed_q(qparams, images, cfg, dtype,
-                          conv_w8_hwcn, matmul_w8_tn)
+    return _image_embed_q(
+        qparams, images, cfg, dtype,
+        lambda x, w, s, p: conv_w8_hwcn(x, w, s, p, compute_dtype=dtype),
+        lambda a, w: matmul_w8_tn(a, w, compute_dtype=dtype))
 
 
 def _image_embed_q(qparams, images, cfg, dtype, conv_fn, matmul_fn):

@@ -192,3 +192,30 @@ def test_policy_engine_w8_tower(model_and_vars):
     eng_w.set_instruction(text)
     cached = np.asarray(eng_w(images))
     np.testing.assert_allclose(cached, a_w, rtol=1e-5, atol=1e-5)
+
+
+def test_w8_image_tower_threads_compute_dtype(model_and_vars):
+    """Regression: image_embed_w8 must pass the caller's dtype into its
+    conv/dense compute (an early version always computed in the bf16
+    default, silently adding bf16 rounding for f32 models)."""
+    from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
+        make_w8_image_embedder,
+    )
+    model, variables, _, _ = model_and_vars
+    images = jax.random.uniform(jax.random.PRNGKey(9), (2, 64, 64, 3)) * 255.0
+
+    ref = np.asarray(model.apply(
+        variables, images, train=False,
+        method=lambda m, im, train: m.image_encoder(im, train)), np.float32)
+    got32 = np.asarray(
+        make_w8_image_embedder(model, variables, dtype=jnp.float32)(images),
+        np.float32)
+    gotbf = np.asarray(
+        make_w8_image_embedder(model, variables, dtype=jnp.bfloat16)(images),
+        np.float32)
+    # dtype reaches the compute: the two settings must not be bit-identical
+    assert np.any(got32 != gotbf)
+    # and f32 compute tracks the (f32) float tower at least as tightly
+    rel32 = np.linalg.norm(got32 - ref) / np.linalg.norm(ref)
+    relbf = np.linalg.norm(gotbf - ref) / np.linalg.norm(ref)
+    assert rel32 <= relbf, (rel32, relbf)
