@@ -723,3 +723,14 @@ def test_checkpoint_best_metric_retention(tmp_path, setup):
     mgr2.wait()
     assert sorted(mgr2._mgr.all_steps()) == [2]  # lowest eval loss wins
     mgr2.close()
+
+
+@pytest.mark.parametrize("tower", ["int8", "w8"])
+def test_policy_engine_quantized_rejects_artifact(setup, tower):
+    """Exported artifacts serve the bf16 image tower; a quantized-tower
+    engine must refuse them with a message naming ITS configured mode."""
+    cfg, model, variables, keys, text, images, actions = setup
+    engine = PolicyEngine(model, variables, head="continuous",
+                          batch_size=4, image_tower=tower)
+    with pytest.raises(ValueError, match=tower):
+        engine.load_artifact(b"ignored")
