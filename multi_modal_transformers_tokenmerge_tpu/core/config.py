@@ -254,6 +254,13 @@ class DiffusionHeadConfig(_Replaceable):
     # with weights resident in VMEM (ops/ddpm_sampler.py); 'auto' = fused
     # on TPU when the denoiser shape allows it, scan otherwise.
     sampler_impl: str = "auto"
+    # Reduced-step deterministic sampling (DDIM, eta=0) for serving: when
+    # set, predict_action runs this many denoiser steps over an evenly
+    # subsampled timestep schedule instead of the full diffusion_steps-long
+    # DDPM reverse loop.  Training (denoise_loss) is unaffected — the model
+    # is still trained on the full schedule, so one checkpoint serves both
+    # samplers.  None (default) = the reference's 32-step DDPM.
+    ddim_steps: Optional[int] = None
 
 
 @dataclass(frozen=True)

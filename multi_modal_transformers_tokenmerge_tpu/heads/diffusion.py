@@ -30,7 +30,38 @@ from ..modules.attention import MLPBlock, _bias_init, _kernel_init
 from ..ops.ddpm_sampler import fused_ddpm_sample
 
 __all__ = ["DiffusionActionHead", "OctoDenoise", "FourierFeatures",
-           "cosine_beta_schedule"]
+           "cosine_beta_schedule", "ddim_schedule"]
+
+
+def ddim_schedule(diffusion_steps: int, ddim_steps: int,
+                  alphas_cumprod: np.ndarray):
+    """Evenly subsampled DDIM (eta=0) schedule over a trained DDPM.
+
+    Returns ``(taus, a, b)`` — descending timestep indices and the
+    per-step update ``x <- a * x + b * eps`` where, with
+    ``p = alpha_hat[tau_prev]`` (1.0 after the final step) and
+    ``h = alpha_hat[tau]``::
+
+        x0_pred = (x - sqrt(1 - h) * eps) / sqrt(h)
+        x_prev  = sqrt(p) * x0_pred + sqrt(1 - p) * eps
+                = sqrt(p / h) * x + (sqrt(1 - p) - sqrt(p / h) * sqrt(1 - h)) * eps
+
+    Deterministic (no per-step noise), so S denoiser applies replace the
+    DDPM's ``diffusion_steps`` sequential steps at serving time.  The
+    model itself is unchanged — eps comes from the same trained denoiser.
+    """
+    if not 1 <= ddim_steps <= diffusion_steps:
+        raise ValueError(
+            f"ddim_steps={ddim_steps} must be in [1, {diffusion_steps}]")
+    taus = np.round(
+        np.linspace(diffusion_steps - 1, 0, ddim_steps)).astype(np.int32)
+    if len(np.unique(taus)) != len(taus):  # only possible near S ~ T
+        taus = np.arange(diffusion_steps - 1, -1, -1, dtype=np.int32)
+    alpha = alphas_cumprod[taus]                       # (S,) descending t
+    alpha_prev = np.append(alphas_cumprod[taus[1:]], 1.0)
+    a = np.sqrt(alpha_prev / alpha)
+    b = np.sqrt(1.0 - alpha_prev) - a * np.sqrt(1.0 - alpha)
+    return taus, a.astype(np.float32), b.astype(np.float32)
 
 
 def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
@@ -143,7 +174,9 @@ class DiffusionActionHead(nn.Module):
         alphas = 1.0 - betas
         self._betas = jnp.asarray(betas, dtype=jnp.float32)
         self._alphas = jnp.asarray(alphas, dtype=jnp.float32)
-        self._alpha_hats = jnp.asarray(np.cumprod(alphas), dtype=jnp.float32)
+        self._np_alpha_hats = np.cumprod(alphas)
+        self._alpha_hats = jnp.asarray(self._np_alpha_hats,
+                                       dtype=jnp.float32)
 
     def noise_coefficient(self, times):
         """Reverse-step noise coefficient c3 = sqrt(beta_t), with z = 0 at
@@ -217,8 +250,14 @@ class DiffusionActionHead(nn.Module):
         # reference uses the same pattern, diffusion.py:155)
         denoiser_mod, denoiser_vars = self.denoiser.unbind()
 
-        # hoisted per-step constants: reverse-order times T-1 .. 0
-        times = jnp.arange(cfg.diffusion_steps - 1, -1, -1)
+        # hoisted per-step constants: reverse-order times T-1 .. 0 (DDPM)
+        # or the subsampled DDIM schedule
+        if cfg.ddim_steps is not None:
+            taus, ddim_a, ddim_b = ddim_schedule(
+                cfg.diffusion_steps, cfg.ddim_steps, self._np_alpha_hats)
+            times = jnp.asarray(taus)
+        else:
+            times = jnp.arange(cfg.diffusion_steps - 1, -1, -1)
         time_embs = denoiser_mod.apply(
             denoiser_vars, times[:, None].astype(jnp.float32),
             method="encode_time")                           # (T, time_dim)
@@ -234,6 +273,24 @@ class DiffusionActionHead(nn.Module):
             cfg.sampler_impl == "fused"
             or (cfg.sampler_impl == "auto"
                 and jax.default_backend() == "tpu"))
+        if use_fused and cfg.ddim_steps is not None:
+            # DDIM is the same per-step linear update the kernel computes —
+            # c1 * (x - c2 * eps) + c3 * noise — with c1 = a,
+            # c2 = -b / a, c3 = 0 (deterministic: zero per-step noise)
+            coeffs = jnp.asarray(
+                np.stack([ddim_a, -ddim_b / ddim_a,
+                          np.zeros_like(ddim_a)], axis=-1))
+            noise_all = jnp.zeros(
+                (cfg.ddim_steps, batch_size, cfg.action_space_dim),
+                jnp.float32)
+            p = denoiser_vars["params"]
+            return fused_ddpm_sample(
+                noisy.astype(jnp.float32), contexts, noise_all, coeffs,
+                p["noisy_proj"]["kernel"], p["noisy_proj"]["bias"],
+                p["first_out"]["kernel"], p["first_out"]["bias"],
+                clip_value=cfg.clip_value, compute_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
+
         if use_fused:
             # per-step noise, bit-identical to the in-scan computation
             if cfg.sampler_rng_mode == "reference":
@@ -261,6 +318,20 @@ class DiffusionActionHead(nn.Module):
                 p["first_out"]["kernel"], p["first_out"]["bias"],
                 clip_value=cfg.clip_value, compute_dtype=self.dtype,
                 interpret=jax.default_backend() != "tpu")
+
+        if cfg.ddim_steps is not None:
+            def ddim_step(sample, xs):
+                context, a_t, b_t = xs
+                eps = denoiser_mod.apply(
+                    denoiser_vars, sample, context,
+                    method="denoise_from_context").astype(jnp.float32)
+                sample = a_t * sample + b_t * eps
+                return jnp.clip(sample, -cfg.clip_value, cfg.clip_value), ()
+
+            actions, _ = jax.lax.scan(
+                ddim_step, noisy.astype(jnp.float32),
+                (contexts, jnp.asarray(ddim_a), jnp.asarray(ddim_b)))
+            return actions
 
         def denoise_step(carry, xs):
             sample, key = carry

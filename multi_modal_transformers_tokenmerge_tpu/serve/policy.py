@@ -33,7 +33,8 @@ class PolicyEngine:
     def __init__(self, model, variables, head: str = "diffusion",
                  batch_size: int = 1, rng: Optional[jax.Array] = None,
                  cache_text: bool = True, tokenizer=None, mesh=None,
-                 image_tower: str = "bf16", text_tower: str = "bf16"):
+                 image_tower: str = "bf16", text_tower: str = "bf16",
+                 ddim_steps: Optional[int] = None):
         """``tokenizer``: optional callable mapping a list of instruction
         strings to an (B, T) int32 id array — e.g.
         ``utils.spm.T5StyleTokenizer`` over a local t5 sentencepiece model,
@@ -61,7 +62,22 @@ class PolicyEngine:
         table; 'w8' stores kernels int8 but computes in bf16 — no
         activation-quantization error); with instruction caching on (the
         default) it only changes cache-miss latency.  Requires a t5-kind
-        text encoder."""
+        text encoder.
+
+        ``ddim_steps``: serve the diffusion head with S-step deterministic
+        DDIM sampling instead of the full 32-step DDPM reverse loop
+        (heads/diffusion.py:ddim_schedule).  Parameters are unchanged —
+        the same checkpoint serves both samplers — so this is a pure
+        latency/quality knob for the action-decode loop."""
+        if ddim_steps is not None:
+            if head != "diffusion":
+                raise ValueError("ddim_steps only applies to the "
+                                 f"diffusion head, got head={head!r}")
+            hc = model.config.heads
+            if hc.diffusion is not None:  # else the head check below raises
+                model = type(model)(model.config.replace(
+                    heads=hc.replace(diffusion=hc.diffusion.replace(
+                        ddim_steps=ddim_steps))))
         if head not in _PREDICT_METHODS:
             raise ValueError(
                 f"unknown head {head!r}; one of {sorted(_PREDICT_METHODS)}")
