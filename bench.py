@@ -363,6 +363,9 @@ def compact_line(payload, fname):
             if k in d["train"]}
     if isinstance(d.get("serving_b1"), dict):
         compact_detail["serving_b1_p50_ms"] = d["serving_b1"].get("p50_ms")
+        if "ddim8_p50_ms" in d["serving_b1"]:
+            compact_detail["serving_b1_ddim8_p50_ms"] = \
+                d["serving_b1"]["ddim8_p50_ms"]
     deep = d.get("deep_stack_tome_224tok_12blk")
     if isinstance(deep, dict):
         compact_detail["deep_tome"] = {
@@ -416,6 +419,20 @@ def bench_serving_b1(model_vars, peak):
             log("[bench] FATAL: serving_b1 exceeds peak FLOP/s")
             raise SystemExit(1)
     log(f"[bench] serving_b1: p50 {sec*1e3:.2f} ms")
+
+    # DDIM-8 arm: same checkpoint, 8-step deterministic sampler
+    # (heads/diffusion.py:ddim_schedule) — the opt-in low-latency decode
+    cfg = model.config
+    ddim_model = type(model)(cfg.replace(heads=cfg.heads.replace(
+        diffusion=cfg.heads.diffusion.replace(ddim_steps=8))))
+    loop8 = build_loop(
+        serve_step(ddim_model, "predict_diffusion_action_with_text"))
+    sec8 = sec_per_call(loop8, (variables, text_emb, images, key),
+                        "serving_b1_cached_text_ddim8")
+    out["ddim8_p50_ms"] = round(sec8 * 1e3, 3)
+    out["ddim8_speedup"] = round(sec / sec8, 3)
+    log(f"[bench] serving_b1 ddim8: p50 {sec8*1e3:.2f} ms "
+        f"({out['ddim8_speedup']}x)")
     return out
 
 
