@@ -37,6 +37,10 @@ def main():
                         "uncached-instruction b1 serving ('w8' is the "
                         "b1 recommendation; t5 presets only; BASELINE.md "
                         "regime table)")
+    p.add_argument("--ddim-steps", type=int, default=None,
+                   help="serve the diffusion head with S-step "
+                        "deterministic DDIM instead of the full DDPM "
+                        "reverse loop (diffusion head only)")
     args = p.parse_args()
 
     cfg = get_preset(args.preset)
@@ -56,7 +60,8 @@ def main():
     engine = PolicyEngine(model, variables, head=args.head,
                           batch_size=args.batch,
                           image_tower=args.image_tower,
-                          text_tower=args.text_tower)
+                          text_tower=args.text_tower,
+                          ddim_steps=args.ddim_steps)
     t0 = time.time()
     engine.compile(text_shape, image_shape)
     print(f"AOT compile: {time.time() - t0:.1f}s")
