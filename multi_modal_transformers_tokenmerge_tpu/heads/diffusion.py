@@ -37,14 +37,23 @@ def ddim_schedule(diffusion_steps: int, ddim_steps: int,
                   alphas_cumprod: np.ndarray):
     """Evenly subsampled DDIM (eta=0) schedule over a trained DDPM.
 
-    Returns ``(taus, a, b)`` — descending timestep indices and the
-    per-step update ``x <- a * x + b * eps`` where, with
+    Returns ``(taus, d1, d2, e1, e2)`` — descending timestep indices and
+    the per-step update with a clamped x0 prediction, where
     ``p = alpha_hat[tau_prev]`` (1.0 after the final step) and
     ``h = alpha_hat[tau]``::
 
-        x0_pred = (x - sqrt(1 - h) * eps) / sqrt(h)
-        x_prev  = sqrt(p) * x0_pred + sqrt(1 - p) * eps
-                = sqrt(p / h) * x + (sqrt(1 - p) - sqrt(p / h) * sqrt(1 - h)) * eps
+        x0_pred = d1 * x - d2 * eps          # = (x - sqrt(1-h)*eps)/sqrt(h)
+        x0_pred = clip(x0_pred, +-clip_value)
+        x_prev  = e1 * x0_pred + e2 * eps    # = sqrt(p)*x0 + sqrt(1-p)*eps
+
+    The x0 clamp ("clip_denoised") is the standard DDIM stabilizer: the
+    cosine schedule's last timestep has alpha_hat ~ 2.4e-6, so d1 ~ 645
+    amplifies any denoiser error at the highest noise level; the action
+    space is bounded (the reference clips samples to +-clip_value each
+    DDPM step, diffusion.py:188), so the inferred clean action is clamped
+    to the same bound.  When the clamp is inactive the update composes to
+    the pure linear form ``x <- sqrt(p/h)*x + (sqrt(1-p) -
+    sqrt(p/h)*sqrt(1-h))*eps``.
 
     Deterministic (no per-step noise), so S denoiser applies replace the
     DDPM's ``diffusion_steps`` sequential steps at serving time.  The
@@ -59,9 +68,12 @@ def ddim_schedule(diffusion_steps: int, ddim_steps: int,
         taus = np.arange(diffusion_steps - 1, -1, -1, dtype=np.int32)
     alpha = alphas_cumprod[taus]                       # (S,) descending t
     alpha_prev = np.append(alphas_cumprod[taus[1:]], 1.0)
-    a = np.sqrt(alpha_prev / alpha)
-    b = np.sqrt(1.0 - alpha_prev) - a * np.sqrt(1.0 - alpha)
-    return taus, a.astype(np.float32), b.astype(np.float32)
+    d1 = 1.0 / np.sqrt(alpha)
+    d2 = np.sqrt(1.0 - alpha) / np.sqrt(alpha)
+    e1 = np.sqrt(alpha_prev)
+    e2 = np.sqrt(1.0 - alpha_prev)
+    return (taus, d1.astype(np.float32), d2.astype(np.float32),
+            e1.astype(np.float32), e2.astype(np.float32))
 
 
 def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
@@ -253,7 +265,7 @@ class DiffusionActionHead(nn.Module):
         # hoisted per-step constants: reverse-order times T-1 .. 0 (DDPM)
         # or the subsampled DDIM schedule
         if cfg.ddim_steps is not None:
-            taus, ddim_a, ddim_b = ddim_schedule(
+            taus, dd1, dd2, de1, de2 = ddim_schedule(
                 cfg.diffusion_steps, cfg.ddim_steps, self._np_alpha_hats)
             times = jnp.asarray(taus)
         else:
@@ -274,12 +286,9 @@ class DiffusionActionHead(nn.Module):
             or (cfg.sampler_impl == "auto"
                 and jax.default_backend() == "tpu"))
         if use_fused and cfg.ddim_steps is not None:
-            # DDIM is the same per-step linear update the kernel computes —
-            # c1 * (x - c2 * eps) + c3 * noise — with c1 = a,
-            # c2 = -b / a, c3 = 0 (deterministic: zero per-step noise)
-            coeffs = jnp.asarray(
-                np.stack([ddim_a, -ddim_b / ddim_a,
-                          np.zeros_like(ddim_a)], axis=-1))
+            # DDIM mode: per-step (d1, d2, e1, e2) with the in-kernel x0
+            # clamp; deterministic, so the noise input is zeros
+            coeffs = jnp.asarray(np.stack([dd1, dd2, de1, de2], axis=-1))
             noise_all = jnp.zeros(
                 (cfg.ddim_steps, batch_size, cfg.action_space_dim),
                 jnp.float32)
@@ -289,6 +298,7 @@ class DiffusionActionHead(nn.Module):
                 p["noisy_proj"]["kernel"], p["noisy_proj"]["bias"],
                 p["first_out"]["kernel"], p["first_out"]["bias"],
                 clip_value=cfg.clip_value, compute_dtype=self.dtype,
+                ddim_x0clip=True,
                 interpret=jax.default_backend() != "tpu")
 
         if use_fused:
@@ -321,16 +331,19 @@ class DiffusionActionHead(nn.Module):
 
         if cfg.ddim_steps is not None:
             def ddim_step(sample, xs):
-                context, a_t, b_t = xs
+                context, d1, d2, e1, e2 = xs
                 eps = denoiser_mod.apply(
                     denoiser_vars, sample, context,
                     method="denoise_from_context").astype(jnp.float32)
-                sample = a_t * sample + b_t * eps
+                x0 = jnp.clip(d1 * sample - d2 * eps,
+                              -cfg.clip_value, cfg.clip_value)
+                sample = e1 * x0 + e2 * eps
                 return jnp.clip(sample, -cfg.clip_value, cfg.clip_value), ()
 
             actions, _ = jax.lax.scan(
                 ddim_step, noisy.astype(jnp.float32),
-                (contexts, jnp.asarray(ddim_a), jnp.asarray(ddim_b)))
+                (contexts, jnp.asarray(dd1), jnp.asarray(dd2),
+                 jnp.asarray(de1), jnp.asarray(de2)))
             return actions
 
         def denoise_step(carry, xs):

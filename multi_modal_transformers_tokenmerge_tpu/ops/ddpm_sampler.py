@@ -50,7 +50,8 @@ _CTX_BLOCK_BYTES = 6 * 1024 * 1024
 
 def _sampler_kernel(coeff_ref, noisy_ref, ctx_ref, noise_ref,
                     wn_ref, bn_ref, wo_ref, bo_ref, o_ref, *,
-                    num_steps: int, clip_value: float, compute_dtype):
+                    num_steps: int, clip_value: float, compute_dtype,
+                    ddim_x0clip: bool):
     wn = wn_ref[...]
     bn = bn_ref[...]
     wo = wo_ref[...]
@@ -62,10 +63,17 @@ def _sampler_kernel(coeff_ref, noisy_ref, ctx_ref, noise_ref,
         h = jax.nn.relu(h.astype(compute_dtype) + bn + ctx_ref[t])
         eps = jnp.dot(h, wo, preferred_element_type=jnp.float32)
         eps = (eps.astype(compute_dtype) + bo).astype(jnp.float32)
-        c1 = coeff_ref[t, 0]
-        c2 = coeff_ref[t, 1]
-        c3 = coeff_ref[t, 2]
-        sample = c1 * (sample - c2 * eps) + c3 * noise_ref[t]
+        if ddim_x0clip:
+            # DDIM (eta=0) with the clamped x0 prediction:
+            # coeffs rows are (d1, d2, e1, e2); deterministic, noise unused
+            x0 = coeff_ref[t, 0] * sample - coeff_ref[t, 1] * eps
+            x0 = jnp.clip(x0, -clip_value, clip_value)
+            sample = coeff_ref[t, 2] * x0 + coeff_ref[t, 3] * eps
+        else:
+            c1 = coeff_ref[t, 0]
+            c2 = coeff_ref[t, 1]
+            c3 = coeff_ref[t, 2]
+            sample = c1 * (sample - c2 * eps) + c3 * noise_ref[t]
         return jnp.clip(sample, -clip_value, clip_value)
 
     o_ref[...] = jax.lax.fori_loop(0, num_steps, body, noisy_ref[...],
@@ -73,18 +81,21 @@ def _sampler_kernel(coeff_ref, noisy_ref, ctx_ref, noise_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("clip_value", "compute_dtype",
-                                             "interpret"))
+                                             "ddim_x0clip", "interpret"))
 def fused_ddpm_sample(noisy, contexts, noise, coeffs, wn, bn, wo, bo, *,
                       clip_value: float, compute_dtype=jnp.bfloat16,
-                      interpret: bool = False):
-    """Run the full DDPM reverse process in one Pallas kernel.
+                      ddim_x0clip: bool = False, interpret: bool = False):
+    """Run the full DDPM (or DDIM) reverse process in one Pallas kernel.
 
     Args:
       noisy:    (B, A) f32 initial Gaussian sample.
       contexts: (T, B, H) per-step denoiser context (time-projection +
                 readout-projection), already in the compute dtype.
-      noise:    (T, B, A) f32 per-step Gaussian noise.
-      coeffs:   (T, 3) f32 per-step DDPM scalars (c1, c2, c3).
+      noise:    (T, B, A) f32 per-step Gaussian noise (zeros for DDIM).
+      coeffs:   f32 per-step scalars — (T, 3) DDPM rows (c1, c2, c3), or
+                (T, 4) rows (d1, d2, e1, e2) when ``ddim_x0clip`` is set
+                (deterministic DDIM with the clamped x0 prediction,
+                heads/diffusion.py:ddim_schedule).
       wn, bn:   first-layer noisy-action projection (A, H) and bias (H,).
       wo, bo:   output projection (H, A) and bias (A,).
 
@@ -107,7 +118,7 @@ def fused_ddpm_sample(noisy, contexts, noise, coeffs, wn, bn, wo, bo, *,
 
     kernel = functools.partial(
         _sampler_kernel, num_steps=num_steps, clip_value=clip_value,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, ddim_x0clip=ddim_x0clip)
     out = pl.pallas_call(
         kernel,
         grid=(padded // bt,),

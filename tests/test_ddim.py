@@ -50,16 +50,20 @@ def _sample(cfg, dtype=jnp.float32, batch=3, seed=0):
 
 def test_schedule_endpoints_and_shape():
     alpha_hat = np.cumprod(1.0 - cosine_beta_schedule(32))
-    taus, a, b = ddim_schedule(32, 8, alpha_hat)
+    taus, d1, d2, e1, e2 = ddim_schedule(32, 8, alpha_hat)
     assert taus[0] == 31 and taus[-1] == 0  # starts at max noise, ends at 0
-    assert len(taus) == len(a) == len(b) == 8
+    assert len(taus) == len(d1) == len(d2) == len(e1) == len(e2) == 8
     assert (np.diff(taus) < 0).all()        # strictly descending
-    assert np.isfinite(a).all() and np.isfinite(b).all()
+    for arr in (d1, d2, e1, e2):
+        assert np.isfinite(arr).all()
+    # final step recombines with alpha_prev = 1: pure x0 prediction
+    np.testing.assert_allclose(e1[-1], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(e2[-1], 0.0, atol=1e-7)
 
 
 def test_schedule_full_length_is_every_step():
     alpha_hat = np.cumprod(1.0 - cosine_beta_schedule(16))
-    taus, _, _ = ddim_schedule(16, 16, alpha_hat)
+    taus = ddim_schedule(16, 16, alpha_hat)[0]
     np.testing.assert_array_equal(taus, np.arange(15, -1, -1))
 
 
@@ -67,12 +71,14 @@ def test_schedule_one_step_is_direct_x0():
     """S=1: one denoise from pure noise; the update must be the x0
     prediction at the highest noise level (alpha_prev = 1)."""
     alpha_hat = np.cumprod(1.0 - cosine_beta_schedule(32))
-    taus, a, b = ddim_schedule(32, 1, alpha_hat)
+    taus, d1, d2, e1, e2 = ddim_schedule(32, 1, alpha_hat)
     assert taus.tolist() == [31]
     h = alpha_hat[31]
-    np.testing.assert_allclose(a[0], 1.0 / np.sqrt(h), rtol=1e-6)
-    np.testing.assert_allclose(b[0], -np.sqrt(1.0 - h) / np.sqrt(h),
+    np.testing.assert_allclose(d1[0], 1.0 / np.sqrt(h), rtol=1e-6)
+    np.testing.assert_allclose(d2[0], np.sqrt(1.0 - h) / np.sqrt(h),
                                rtol=1e-6)
+    np.testing.assert_allclose(e1[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(e2[0], 0.0, atol=1e-7)
 
 
 def test_schedule_rejects_bad_steps():
@@ -101,7 +107,7 @@ def test_ddim_scan_matches_explicit_x0_loop():
     x = jax.random.normal(rng, (3, cfg.action_space_dim))
 
     alpha_hat = np.cumprod(1.0 - cosine_beta_schedule(cfg.diffusion_steps))
-    taus, _, _ = ddim_schedule(cfg.diffusion_steps, 4, alpha_hat)
+    taus = ddim_schedule(cfg.diffusion_steps, 4, alpha_hat)[0]
     for i, t in enumerate(taus):
         tvec = jnp.full((3, 1), float(t))
         eps = head.apply(v, readouts, tvec, x, False,
@@ -109,6 +115,7 @@ def test_ddim_scan_matches_explicit_x0_loop():
         h = alpha_hat[t]
         prev = alpha_hat[taus[i + 1]] if i + 1 < len(taus) else 1.0
         x0 = (x - np.sqrt(1 - h) * eps) / np.sqrt(h)
+        x0 = jnp.clip(x0, -cfg.clip_value, cfg.clip_value)  # clip_denoised
         x = np.sqrt(prev) * x0 + np.sqrt(1 - prev) * eps
         x = jnp.clip(x, -cfg.clip_value, cfg.clip_value)
     np.testing.assert_allclose(np.asarray(got), np.asarray(x),
