@@ -71,6 +71,9 @@ def main():
     quant = run_hardware_tests("test_quantize.py", "quantized text tower")
     quant_img = run_hardware_tests("test_quantize_image.py",
                                    "quantized image tower")
+    # the CPU suite runs the DDIM kernel mode in interpret mode only;
+    # here the Mosaic-compiled ddim_x0clip kernel runs on the chip
+    ddim = run_hardware_tests("test_ddim.py", "ddim sampler")
     perf = run_flash_perf()
     speedup = perf.get("forward_flash_speedup", 0.0) or 0.0
     ok = (not dropout["failed"] and dropout["passed"] >= 5
@@ -78,6 +81,7 @@ def main():
           and not pool["failed"] and pool["passed"] >= 14
           and not quant["failed"] and quant["passed"] >= 9
           and not quant_img["failed"] and quant_img["passed"] >= 9
+          and not ddim["failed"] and ddim["passed"] >= 10
           and speedup >= MIN_SPEEDUP)
     out = {
         "metric": "tpu_hardware_lane",
@@ -90,6 +94,7 @@ def main():
             "pool_backward_tests": pool,
             "quantized_text_tower_tests": quant,
             "quantized_image_tower_tests": quant_img,
+            "ddim_sampler_tests": ddim,
             "flash_op_perf": perf,
             "min_forward_speedup_required": MIN_SPEEDUP,
         },
