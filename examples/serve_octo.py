@@ -38,10 +38,13 @@ def main():
                         "b1 recommendation; t5 presets only; BASELINE.md "
                         "regime table)")
     p.add_argument("--ddim-steps", type=int, default=None,
-                   help="serve the diffusion head with S-step "
-                        "deterministic DDIM instead of the full DDPM "
-                        "reverse loop (diffusion head only)")
+                   help="serve with S-step deterministic DDIM instead of "
+                        "the full DDPM reverse loop; requires "
+                        "--head diffusion (and a preset with a diffusion "
+                        "head, e.g. --preset octo_base)")
     args = p.parse_args()
+    if args.ddim_steps is not None and args.head != "diffusion":
+        p.error("--ddim-steps requires --head diffusion")
 
     cfg = get_preset(args.preset)
     model = Octo(cfg)

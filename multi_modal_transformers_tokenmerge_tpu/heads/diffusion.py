@@ -64,8 +64,8 @@ def ddim_schedule(diffusion_steps: int, ddim_steps: int,
             f"ddim_steps={ddim_steps} must be in [1, {diffusion_steps}]")
     taus = np.round(
         np.linspace(diffusion_steps - 1, 0, ddim_steps)).astype(np.int32)
-    if len(np.unique(taus)) != len(taus):  # only possible near S ~ T
-        taus = np.arange(diffusion_steps - 1, -1, -1, dtype=np.int32)
+    # S <= T gives linspace spacing >= 1, so rounded points are distinct
+    assert len(np.unique(taus)) == len(taus)
     alpha = alphas_cumprod[taus]                       # (S,) descending t
     alpha_prev = np.append(alphas_cumprod[taus[1:]], 1.0)
     d1 = 1.0 / np.sqrt(alpha)
@@ -290,8 +290,7 @@ class DiffusionActionHead(nn.Module):
             # clamp; deterministic, so the noise input is zeros
             coeffs = jnp.asarray(np.stack([dd1, dd2, de1, de2], axis=-1))
             noise_all = jnp.zeros(
-                (cfg.ddim_steps, batch_size, cfg.action_space_dim),
-                jnp.float32)
+                (len(taus), batch_size, cfg.action_space_dim), jnp.float32)
             p = denoiser_vars["params"]
             return fused_ddpm_sample(
                 noisy.astype(jnp.float32), contexts, noise_all, coeffs,

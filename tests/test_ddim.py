@@ -91,10 +91,12 @@ def test_schedule_rejects_bad_steps():
 
 # ---------------------------------------------------------------- sampling
 
-def test_ddim_scan_matches_explicit_x0_loop():
+@pytest.mark.parametrize("steps", [4, 8])  # subsampled AND full schedule
+def test_ddim_scan_matches_explicit_x0_loop(steps):
     """The scan realization equals an explicit loop of x0-prediction
-    updates through the head's own denoiser."""
-    cfg = _cfg(ddim_steps=4, sampler_impl="scan")
+    updates through the head's own denoiser — at a subsampled S and at
+    S == T (the full-trajectory case)."""
+    cfg = _cfg(ddim_steps=steps, sampler_impl="scan")
     head, v, readouts = _head_and_vars(cfg)
     got = head.apply(v, readouts, method="predict_action",
                      rngs={"diffusion": jax.random.PRNGKey(0)})
@@ -107,7 +109,7 @@ def test_ddim_scan_matches_explicit_x0_loop():
     x = jax.random.normal(rng, (3, cfg.action_space_dim))
 
     alpha_hat = np.cumprod(1.0 - cosine_beta_schedule(cfg.diffusion_steps))
-    taus = ddim_schedule(cfg.diffusion_steps, 4, alpha_hat)[0]
+    taus = ddim_schedule(cfg.diffusion_steps, steps, alpha_hat)[0]
     for i, t in enumerate(taus):
         tvec = jnp.full((3, 1), float(t))
         eps = head.apply(v, readouts, tvec, x, False,
@@ -139,9 +141,9 @@ def test_ddim_is_deterministic_given_key():
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4  # init noise
 
 
-def test_ddim_full_schedule_close_to_ddpm_denoised_mean():
-    """At S == T, DDIM follows the DDPM trajectory minus the injected
-    per-step noise — outputs must be finite, in-range, and key-stable."""
+def test_ddim_output_finite_and_in_range():
+    """DDIM outputs respect the clip bound (the trajectory-correctness
+    check for S == T lives in the golden x0-loop test above)."""
     out = _sample(_cfg(ddim_steps=8, sampler_impl="scan"))
     arr = np.asarray(out)
     assert np.isfinite(arr).all()
