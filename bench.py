@@ -146,6 +146,50 @@ def sec_per_call(loop, args, label=""):
     return slope
 
 
+def paired_ab(loop_a, args_a, loop_b, args_b, label="", reps=6):
+    """Paired A/B ratio with ABBA blocking: cancels the slow linear
+    drift of the time-shared tunnel that swamps sub-2x differences when
+    arms are measured minutes apart (each arm's absolute sec/call from
+    sec_per_call is unaffected; this is for the RATIO claim).
+
+    Each arm visit is a TWO-POINT SLOPE — (t(K2) - t(K1)) / (K2 - K1) —
+    so the fixed dispatch/transfer overhead cancels exactly (a plain
+    per-call ratio at moderate K attenuates real differences toward 1:
+    the overhead is a common additive term in both arms).  Visits are
+    blocked A,B,B,A; per-block ratio = mean B slope / mean A slope;
+    returns (ratio_b_over_a_median, ratios).  ratio > 1 means B slower.
+    """
+    k1 = 8
+    for loop, args in ((loop_a, args_a), (loop_b, args_b)):
+        _run(loop, 2, args)  # warm/compile
+    ta = _run(loop_a, k1, args_a)
+    tb = _run(loop_b, k1, args_b)
+
+    def big_k(t8):
+        est = max((t8 - 0.02) / k1, 2e-5)  # per-call estimate sans overhead
+        return int(np.clip(0.6 / est, k1 + 32, 4000))
+
+    ka, kb = big_k(ta), big_k(tb)
+
+    def slope(loop, args, k2):
+        t1 = _run(loop, k1, args)
+        t2 = _run(loop, k2, args)
+        s = (t2 - t1) / (k2 - k1)
+        return s if s > 0 else t2 / k2
+
+    ratios = []
+    for _ in range(reps):
+        a1 = slope(loop_a, args_a, ka)
+        b1 = slope(loop_b, args_b, kb)
+        b2 = slope(loop_b, args_b, kb)
+        a2 = slope(loop_a, args_a, ka)
+        ratios.append(((b1 + b2) / 2) / ((a1 + a2) / 2))
+    med = float(np.median(ratios))
+    log(f"[bench] paired {label}: B/A = {med:.3f} "
+        f"(blocks: {', '.join(f'{r:.3f}' for r in ratios)})")
+    return med, ratios
+
+
 def check_mfu(name, sec, flops, peak, entry):
     """Record achieved TFLOP/s + MFU; fail loudly on physically impossible
     numbers (the round-1 failure mode this protocol exists to prevent)."""
