@@ -13,6 +13,8 @@ Pairs measured (octo_base, b1):
      sampler is 6-11 us total, ddim_op_r6.json)
   2. uncached-instruction serving: bf16 text tower vs w8 text tower
      (regime-table claim: w8 wins at b1)
+  3. cached-text serving: bf16 image tower vs w8 image tower
+     (regime-table claim: 1.086x, measured once in w8_b1_r5.json)
 
 Writes benchmarks/recorded/b1_paired_r6.json.
 """
@@ -92,6 +94,26 @@ def main():
         build_loop(w8_step), (variables, text_qp, text, images, keys[3]),
         "b1 uncached w8/bf16")
 
+    # -- pair 3: cached-text serving, bf16 vs w8 IMAGE tower --------------
+    from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
+        image_embed_w8, quantize_image_tower)
+    img_qp = quantize_image_tower(model, variables)
+    icfg, cdtype = cfg.images, cfg.compute_dtype
+
+    def w8img_step(i, sv, text_emb, images, key):
+        img = pick(i, images)
+        e = image_embed_w8(sv["img_q"], img, icfg, dtype=cdtype)
+        out = model.apply(sv["model"], text_emb, e,
+                          rngs={"diffusion": jax.random.fold_in(key, i)},
+                          method="predict_diffusion_action_with_modalities")
+        return jnp.sum(out.astype(jnp.float32))
+
+    w8img_ratio, w8img_blocks = paired_ab(
+        loop_a, args,
+        build_loop(w8img_step),
+        ({"model": variables, "img_q": img_qp}, emb, images, keys[3]),
+        "b1 cached w8img/bf16")
+
     out = {
         "metric": "b1_paired_ab_r6",
         "value": round(1.0 / w8_ratio, 3),
@@ -106,6 +128,10 @@ def main():
                 "ratio_median": round(w8_ratio, 3),
                 "speedup": round(1.0 / w8_ratio, 3),
                 "blocks": [round(r, 3) for r in w8_blocks]},
+            "w8_image_over_bf16_cached": {
+                "ratio_median": round(w8img_ratio, 3),
+                "speedup": round(1.0 / w8img_ratio, 3),
+                "blocks": [round(r, 3) for r in w8img_blocks]},
             "note": ("ratio > 1 means the B arm is slower; ABBA blocking "
                      "cancels linear tunnel drift (bench.paired_ab)"),
         },
