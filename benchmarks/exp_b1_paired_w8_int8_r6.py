@@ -15,8 +15,7 @@ sys.path.insert(0, ROOT)
 import jax, jax.numpy as jnp, numpy as np
 from bench import build_loop, paired_ab, log, device_peak_flops
 
-def if __name__ == "__main__":
-    main():
+def main():
     from multi_modal_transformers_tokenmerge_tpu import Octo, load_config
     from multi_modal_transformers_tokenmerge_tpu.serve.quantize import (
         quantize_t5_params, t5_encode_int8)
