@@ -17,8 +17,11 @@ Two measurements:
   each sampler and compare per-arm action error against the memorized
   targets, plus each DDIM arm's agreement with the DDPM-32 decode.
 
-Writes benchmarks/recorded/ddim_r6.json.
-Env: DDIM_TRAIN_STEPS (default 640), DDIM_SEGMENTS (16), BENCH_REPS.
+Writes benchmarks/recorded/ddim_r6.json (suffix _seed{S} when
+DDIM_SEED != 0).
+Env: DDIM_TRAIN_STEPS (default 640), DDIM_SEGMENTS (16), BENCH_REPS,
+DDIM_SEED (model init + data seed, default 0), DDIM_SKIP_LATENCY=1
+(quality-only replication runs).
 """
 
 import json
@@ -38,6 +41,8 @@ from bench import (  # noqa: E402
 
 STEPS = int(os.environ.get("DDIM_TRAIN_STEPS", "640"))
 SEGMENTS = int(os.environ.get("DDIM_SEGMENTS", "16"))
+SEED = int(os.environ.get("DDIM_SEED", "0"))
+SKIP_LATENCY = os.environ.get("DDIM_SKIP_LATENCY") == "1"
 BATCH = 32
 POOL = 4
 ACTION_DIM = 8
@@ -64,7 +69,7 @@ def main():
     log(f"[ddim] device={kind}")
     cfg = load_config("octo_base", ["dtype=bfloat16"])
     model = Octo(cfg)
-    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    keys = jax.random.split(jax.random.PRNGKey(SEED), 4)
 
     # ---------------- latency arms (random init params are fine) ----------
     rng = np.random.default_rng(1)
@@ -81,7 +86,7 @@ def main():
     emb32 = model.apply(variables, text32, method="encode_text")
 
     latency = {}
-    for name, steps in ARMS.items():
+    for name, steps in ([] if SKIP_LATENCY else list(ARMS.items())):
         m = Octo(with_ddim(cfg, steps))
         stp = serve_step(m, "predict_diffusion_action_with_text")
         s_b1 = sec_per_call(build_loop(stp),
@@ -101,7 +106,7 @@ def main():
             f"b32 {row['b32_ms_per_call']} ms")
 
     # ---------------- quality: train then decode --------------------------
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(5 + SEED)
     pool_images = jnp.asarray(
         rng.integers(0, 256, (POOL, BATCH, 2, 280, 280, 3)),
         dtype=jnp.float32)
@@ -170,13 +175,23 @@ def main():
         quality[name] = row
         log(f"[ddim] quality {name}: {row}")
 
+    if SKIP_LATENCY:
+        head_val = quality["ddim8"]["mae_vs_target"]
+        head_unit = "DDIM-8 decode MAE vs target (quality-only run)"
+        head_vs = round(quality["ddpm32"]["mae_vs_target"]
+                        / max(head_val, 1e-9), 3)
+    else:
+        head_val = latency["ddim8"]["b1_p50_ms"]
+        head_unit = "ms b1 cached-text p50 (DDIM-8)"
+        head_vs = latency["ddim8"]["b1_speedup_vs_ddpm32"]
     out = {
         "metric": "ddim_reduced_step_serving_r6",
-        "value": latency["ddim8"]["b1_p50_ms"],
-        "unit": "ms b1 cached-text p50 (DDIM-8)",
-        "vs_baseline": latency["ddim8"]["b1_speedup_vs_ddpm32"],
+        "value": head_val,
+        "unit": head_unit,
+        "vs_baseline": head_vs,
         "detail": {
             "device": kind,
+            "seed": SEED,
             "train_steps": STEPS,
             "train_loss_first_final": [round(curve[0], 4),
                                        round(curve[-1], 4)],
@@ -188,7 +203,9 @@ def main():
                      f"{STEPS} diffusion train steps"),
         },
     }
-    path = os.path.join(ROOT, "benchmarks", "recorded", "ddim_r6.json")
+    suffix = f"_seed{SEED}" if SEED else ""
+    path = os.path.join(ROOT, "benchmarks", "recorded",
+                        f"ddim_r6{suffix}.json")
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
