@@ -175,18 +175,34 @@ def paired_ab(loop_a, args_a, loop_b, args_b, label="", reps=6):
         t1 = _run(loop, k1, args)
         t2 = _run(loop, k2, args)
         s = (t2 - t1) / (k2 - k1)
-        return s if s > 0 else t2 / k2
+        # non-positive slope = tunnel noise swamped the K delta; a t2/k2
+        # fallback here would measure an overhead-INCLUSIVE per-call time,
+        # a different quantity than the other arm's visits, silently
+        # biasing the block ratio toward 1 — drop the block instead
+        return s if s > 0 else None
 
-    ratios = []
-    for _ in range(reps):
+    ratios, dropped = [], 0
+    attempts = 0
+    while len(ratios) < reps and attempts < 2 * reps:
+        attempts += 1
         a1 = slope(loop_a, args_a, ka)
         b1 = slope(loop_b, args_b, kb)
         b2 = slope(loop_b, args_b, kb)
         a2 = slope(loop_a, args_a, ka)
+        if None in (a1, b1, b2, a2):
+            dropped += 1
+            log(f"[bench] paired {label}: dropped a block (non-positive "
+                f"two-point slope — tunnel noise); retrying")
+            continue
         ratios.append(((b1 + b2) / 2) / ((a1 + a2) / 2))
+    if not ratios:
+        log(f"[bench] paired {label}: EVERY block had a non-positive "
+            f"slope — the arms are too fast for the K spread; no ratio")
+        return None, []
     med = float(np.median(ratios))
     log(f"[bench] paired {label}: B/A = {med:.3f} "
-        f"(blocks: {', '.join(f'{r:.3f}' for r in ratios)})")
+        f"(blocks: {', '.join(f'{r:.3f}' for r in ratios)}"
+        f"{f'; {dropped} dropped' if dropped else ''})")
     return med, ratios
 
 

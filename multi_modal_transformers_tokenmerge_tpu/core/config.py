@@ -261,6 +261,17 @@ class DiffusionHeadConfig(_Replaceable):
     # is still trained on the full schedule, so one checkpoint serves both
     # samplers.  None (default) = the reference's 32-step DDPM.
     ddim_steps: Optional[int] = None
+    # How the DDIM direction term treats the clamped x0 prediction:
+    # 'raw' keeps the denoiser's eps alongside the clamped x0 (the
+    # numerics every recorded DDIM quality table was measured with);
+    # 'recompute' re-derives eps from the clamped x0 —
+    # eps' = (x - sqrt(a_hat)*clip(x0)) / sqrt(1-a_hat) — the
+    # clip_denoised convention of guided-diffusion/diffusers, so the
+    # (x0, eps) pair stays consistent when the clamp engages at the
+    # highest-noise steps.  Measured on the trained probe the two are
+    # within noise of each other (benchmarks/recorded/ddim_eps_r5.json);
+    # 'raw' stays default for continuity with the recorded tables.
+    ddim_eps_mode: str = "raw"
 
 
 @dataclass(frozen=True)

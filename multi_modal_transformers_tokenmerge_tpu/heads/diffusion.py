@@ -55,6 +55,15 @@ def ddim_schedule(diffusion_steps: int, ddim_steps: int,
     the pure linear form ``x <- sqrt(p/h)*x + (sqrt(1-p) -
     sqrt(p/h)*sqrt(1-h))*eps``.
 
+    When the clamp DOES engage, ``DiffusionHeadConfig.ddim_eps_mode``
+    picks the eps used in the direction term: 'raw' keeps the denoiser's
+    own eps (self-consistent with every recorded quality table);
+    'recompute' re-derives ``eps' = (d1*x - x0_clipped) / d2`` — an
+    algebraic rearrangement of ``eps' = (x - sqrt(h)*x0) / sqrt(1-h)`` —
+    so the (x0, eps) pair stays consistent (guided-diffusion's
+    clip_denoised convention).  The two coincide whenever the clamp is
+    inactive.
+
     Deterministic (no per-step noise), so S denoiser applies replace the
     DDPM's ``diffusion_steps`` sequential steps at serving time.  The
     model itself is unchanged — eps comes from the same trained denoiser.
@@ -285,6 +294,11 @@ class DiffusionActionHead(nn.Module):
             cfg.sampler_impl == "fused"
             or (cfg.sampler_impl == "auto"
                 and jax.default_backend() == "tpu"))
+        if cfg.ddim_steps is not None and cfg.ddim_eps_mode not in (
+                "raw", "recompute"):
+            raise ValueError(
+                f"unknown ddim_eps_mode {cfg.ddim_eps_mode!r}; "
+                f"'raw' or 'recompute'")
         if use_fused and cfg.ddim_steps is not None:
             # DDIM mode: per-step (d1, d2, e1, e2) with the in-kernel x0
             # clamp; deterministic, so the noise input is zeros
@@ -298,6 +312,7 @@ class DiffusionActionHead(nn.Module):
                 p["first_out"]["kernel"], p["first_out"]["bias"],
                 clip_value=cfg.clip_value, compute_dtype=self.dtype,
                 ddim_x0clip=True,
+                ddim_eps_recompute=cfg.ddim_eps_mode == "recompute",
                 interpret=jax.default_backend() != "tpu")
 
         if use_fused:
@@ -329,6 +344,8 @@ class DiffusionActionHead(nn.Module):
                 interpret=jax.default_backend() != "tpu")
 
         if cfg.ddim_steps is not None:
+            eps_recompute = cfg.ddim_eps_mode == "recompute"
+
             def ddim_step(sample, xs):
                 context, d1, d2, e1, e2 = xs
                 eps = denoiser_mod.apply(
@@ -336,6 +353,10 @@ class DiffusionActionHead(nn.Module):
                     method="denoise_from_context").astype(jnp.float32)
                 x0 = jnp.clip(d1 * sample - d2 * eps,
                               -cfg.clip_value, cfg.clip_value)
+                if eps_recompute:
+                    # consistent pair: eps' = (x - sqrt(h)*x0)/sqrt(1-h),
+                    # rearranged with d1 = 1/sqrt(h), d2 = sqrt(1-h)/sqrt(h)
+                    eps = (d1 * sample - x0) / d2
                 sample = e1 * x0 + e2 * eps
                 return jnp.clip(sample, -cfg.clip_value, cfg.clip_value), ()
 

@@ -51,7 +51,7 @@ _CTX_BLOCK_BYTES = 6 * 1024 * 1024
 def _sampler_kernel(coeff_ref, noisy_ref, ctx_ref, noise_ref,
                     wn_ref, bn_ref, wo_ref, bo_ref, o_ref, *,
                     num_steps: int, clip_value: float, compute_dtype,
-                    ddim_x0clip: bool):
+                    ddim_x0clip: bool, ddim_eps_recompute: bool):
     wn = wn_ref[...]
     bn = bn_ref[...]
     wo = wo_ref[...]
@@ -68,6 +68,10 @@ def _sampler_kernel(coeff_ref, noisy_ref, ctx_ref, noise_ref,
             # coeffs rows are (d1, d2, e1, e2); deterministic, noise unused
             x0 = coeff_ref[t, 0] * sample - coeff_ref[t, 1] * eps
             x0 = jnp.clip(x0, -clip_value, clip_value)
+            if ddim_eps_recompute:
+                # consistent-pair eps from the clamped x0 (see
+                # heads/diffusion.py ddim_schedule docstring)
+                eps = (coeff_ref[t, 0] * sample - x0) / coeff_ref[t, 1]
             sample = coeff_ref[t, 2] * x0 + coeff_ref[t, 3] * eps
         else:
             c1 = coeff_ref[t, 0]
@@ -81,10 +85,14 @@ def _sampler_kernel(coeff_ref, noisy_ref, ctx_ref, noise_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("clip_value", "compute_dtype",
-                                             "ddim_x0clip", "interpret"))
+                                             "ddim_x0clip",
+                                             "ddim_eps_recompute",
+                                             "interpret"))
 def fused_ddpm_sample(noisy, contexts, noise, coeffs, wn, bn, wo, bo, *,
                       clip_value: float, compute_dtype=jnp.bfloat16,
-                      ddim_x0clip: bool = False, interpret: bool = False):
+                      ddim_x0clip: bool = False,
+                      ddim_eps_recompute: bool = False,
+                      interpret: bool = False):
     """Run the full DDPM (or DDIM) reverse process in one Pallas kernel.
 
     Args:
@@ -95,7 +103,9 @@ def fused_ddpm_sample(noisy, contexts, noise, coeffs, wn, bn, wo, bo, *,
       coeffs:   f32 per-step scalars — (T, 3) DDPM rows (c1, c2, c3), or
                 (T, 4) rows (d1, d2, e1, e2) when ``ddim_x0clip`` is set
                 (deterministic DDIM with the clamped x0 prediction,
-                heads/diffusion.py:ddim_schedule).
+                heads/diffusion.py:ddim_schedule).  With
+                ``ddim_eps_recompute`` the direction term re-derives eps
+                from the clamped x0 (ddim_eps_mode='recompute').
       wn, bn:   first-layer noisy-action projection (A, H) and bias (H,).
       wo, bo:   output projection (H, A) and bias (A,).
 
@@ -118,7 +128,8 @@ def fused_ddpm_sample(noisy, contexts, noise, coeffs, wn, bn, wo, bo, *,
 
     kernel = functools.partial(
         _sampler_kernel, num_steps=num_steps, clip_value=clip_value,
-        compute_dtype=compute_dtype, ddim_x0clip=ddim_x0clip)
+        compute_dtype=compute_dtype, ddim_x0clip=ddim_x0clip,
+        ddim_eps_recompute=ddim_eps_recompute)
     out = pl.pallas_call(
         kernel,
         grid=(padded // bt,),

@@ -75,7 +75,11 @@ class PolicyEngine:
                                  f"diffusion head, got head={head!r}")
             hc = model.config.heads
             if hc.diffusion is not None:  # else the head check below raises
-                model = type(model)(model.config.replace(
+                # flax clone(): rebuilds the module with only `config`
+                # swapped, preserving any other dataclass attributes a
+                # subclass declares (a bare type(model)(cfg) would assume
+                # a single-positional-config constructor)
+                model = model.clone(config=model.config.replace(
                     heads=hc.replace(diffusion=hc.diffusion.replace(
                         ddim_steps=ddim_steps))))
         if head not in _PREDICT_METHODS:

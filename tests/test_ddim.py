@@ -150,6 +150,104 @@ def test_ddim_output_finite_and_in_range():
     assert (np.abs(arr) <= 5.0).all()
 
 
+# ---------------------------------------------------- numpy cross-check
+
+def _numpy_denoiser_eps(params, x, t, readout_mean):
+    """The OctoDenoise forward in pure numpy (no jax): FourierFeatures
+    time embedding -> split first-layer projections -> relu -> output.
+    Mirrors heads/diffusion.py:OctoDenoise for the num_blocks=1 shape."""
+    p = params
+    w = np.asarray(p["time_encoder"]["fourier_kernel"], np.float64)
+    tf = 2.0 * np.pi * np.asarray(t, np.float64) @ w.T
+    tf = np.concatenate([np.cos(tf), np.sin(tf)], axis=-1)
+    mlp = p["time_encoder"]["mlp"]
+    h = np.maximum(tf @ np.asarray(mlp["dense_in"]["kernel"], np.float64)
+                   + np.asarray(mlp["dense_in"]["bias"], np.float64), 0.0)
+    time_emb = (h @ np.asarray(mlp["dense_out"]["kernel"], np.float64)
+                + np.asarray(mlp["dense_out"]["bias"], np.float64))
+    ctx = (time_emb @ np.asarray(p["time_proj"]["kernel"], np.float64)
+           + np.asarray(readout_mean, np.float64)
+           @ np.asarray(p["readout_proj"]["kernel"], np.float64))
+    h = np.maximum(np.asarray(x, np.float64)
+                   @ np.asarray(p["noisy_proj"]["kernel"], np.float64)
+                   + np.asarray(p["noisy_proj"]["bias"], np.float64)
+                   + ctx, 0.0)
+    return (h @ np.asarray(p["first_out"]["kernel"], np.float64)
+            + np.asarray(p["first_out"]["bias"], np.float64))
+
+
+def _numpy_ddim(params, noisy, readout_mean, *, diffusion_steps, ddim_steps,
+                clip_value, eps_mode):
+    """Standalone numpy DDIM (eta=0) with clamped x0 — written from the
+    DDIM update equations, independent of ddim_schedule / the scan."""
+    alpha_hat = np.cumprod(1.0 - np.asarray(
+        cosine_beta_schedule(diffusion_steps), np.float64))
+    taus = np.round(np.linspace(diffusion_steps - 1, 0,
+                                ddim_steps)).astype(int)
+    x = np.asarray(noisy, np.float64)
+    for i, t in enumerate(taus):
+        h = alpha_hat[t]
+        prev = alpha_hat[taus[i + 1]] if i + 1 < len(taus) else 1.0
+        tvec = np.full((x.shape[0], 1), float(t))
+        eps = _numpy_denoiser_eps(params, x, tvec, readout_mean)
+        x0 = np.clip((x - np.sqrt(1.0 - h) * eps) / np.sqrt(h),
+                     -clip_value, clip_value)
+        if eps_mode == "recompute":
+            eps = (x - np.sqrt(h) * x0) / np.sqrt(1.0 - h)
+        x = np.sqrt(prev) * x0 + np.sqrt(1.0 - prev) * eps
+        x = np.clip(x, -clip_value, clip_value)
+    return x
+
+
+@pytest.mark.parametrize("eps_mode", ["raw", "recompute"])
+@pytest.mark.parametrize("clip_value", [5.0, 0.1])
+def test_ddim_scan_matches_standalone_numpy(eps_mode, clip_value):
+    """Cross-implementation golden (VERDICT r4 item 8): the head's DDIM
+    scan equals a from-scratch numpy DDIM whose denoiser forward is also
+    pure numpy — both eps modes, with a clip bound tight enough (0.1)
+    that the x0 clamp actually engages."""
+    cfg = _cfg(ddim_steps=4, sampler_impl="scan", clip_value=clip_value,
+               ddim_eps_mode=eps_mode)
+    head, v, readouts = _head_and_vars(cfg)
+    got = head.apply(v, readouts, method="predict_action",
+                     rngs={"diffusion": jax.random.PRNGKey(0)})
+
+    rng = head.apply(
+        v, method=lambda m: jax.random.split(
+            m.make_rng(cfg.rng_collection))[0],
+        rngs={"diffusion": jax.random.PRNGKey(0)})
+    noisy = np.asarray(jax.random.normal(rng, (3, cfg.action_space_dim)))
+    readout_mean = np.asarray(jnp.mean(readouts, axis=-2))
+    want = _numpy_ddim(
+        v["params"]["denoiser"], noisy, readout_mean,
+        diffusion_steps=cfg.diffusion_steps, ddim_steps=4,
+        clip_value=clip_value, eps_mode=eps_mode)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_fused_matches_scan_eps_recompute():
+    """The Pallas kernel's ddim_eps_recompute branch equals the scan."""
+    cfg = dict(ddim_steps=4, clip_value=0.1, ddim_eps_mode="recompute")
+    scan = _sample(_cfg(sampler_impl="scan", **cfg))
+    fused = _sample(_cfg(sampler_impl="fused", **cfg))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(scan),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ddim_eps_modes_differ_when_clamp_engages():
+    """'raw' and 'recompute' must coincide when the clamp never fires and
+    differ when it does (otherwise the knob is inert)."""
+    tight_raw = _sample(_cfg(ddim_steps=4, sampler_impl="scan",
+                             clip_value=0.1, ddim_eps_mode="raw"))
+    tight_rec = _sample(_cfg(ddim_steps=4, sampler_impl="scan",
+                             clip_value=0.1, ddim_eps_mode="recompute"))
+    assert np.abs(np.asarray(tight_raw) - np.asarray(tight_rec)).max() > 1e-6
+
+    with pytest.raises(ValueError):
+        _sample(_cfg(ddim_steps=4, sampler_impl="scan",
+                     ddim_eps_mode="bogus"))
+
+
 def test_octo_model_ddim_plumbing():
     """ddim_steps reaches the head through the Octo config path."""
     import sys as _sys
