@@ -9,9 +9,10 @@ space so the 'auto' rule is set from data.
 
 On a 1-core host every native thread count just adds pool scheduling on
 top of the same single CPU, so numpy (single-copy memmap assembly) wins
-everywhere reachable -> 'auto' resolves to numpy unconditionally and the
-native path is explicitly experimental (utils/recordio.py).  If a future
-rig has real cores, rerun this sweep and re-key the rule from its data.
+everywhere reachable.  Round 5: the C++ reader was demoted OUT of the
+package (examples/native_backends/native_recordio.py, VERDICT r4 item
+6); this sweep now imports it from there.  If a future rig has real
+cores, rerun this sweep and promote it back only on a recorded win.
 
 Writes benchmarks/recorded/reader_sweep_r4.json.
 """
@@ -30,6 +31,10 @@ from multi_modal_transformers_tokenmerge_tpu.utils.recordio import (  # noqa: E4
     RecordReader,
     write_records,
 )
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples", "native_backends"))
 
 BATCH = 32
 N_RECORDS = 256
@@ -66,8 +71,9 @@ def main():
             path, batch_size=BATCH, backend="numpy"))
         for threads in (1, 2, 4, 8):
             try:
-                r = RecordReader(path, batch_size=BATCH, backend="native",
-                                 num_threads=threads)
+                from native_recordio import NativeRecordReader  # noqa: E402
+                r = NativeRecordReader(path, batch_size=BATCH,
+                                       num_threads=threads)
                 cases[f"native_t{threads}"] = measure(r)
                 r.close()
             except Exception as e:  # no toolchain: record why
@@ -88,9 +94,9 @@ def main():
                 "record_bytes": 2 * 280 * 280 * 3 + 8 * 4 + 16 * 4,
                 "cases_mb_per_sec": cases,
                 "decision": ("numpy wins at every reachable configuration "
-                             "on this host -> 'auto' = numpy; native stays "
-                             "available as an explicit opt-in, validated "
-                             "for correctness (tests) but not for speed"),
+                             "on this host -> numpy is the ONE supported "
+                             "backend; the C++ reader lives in examples/"
+                             "native_backends (round-5 demotion)"),
             },
         }
         path_out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

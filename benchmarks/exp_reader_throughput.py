@@ -1,4 +1,5 @@
-"""Record-loader throughput: native (C++ worker pool) vs numpy backend.
+"""Record-loader throughput: native (C++ worker pool, now an example —
+examples/native_backends) vs the supported numpy backend.
 
 Host-side measurement (no device): batches/sec and MB/s of batch
 assembly at octo_base-shaped records (~786 KB each: 2 frames of
@@ -56,24 +57,32 @@ def measure(reader, n_batches=64):
 
 
 def main():
+    # round 5: the C++ reader moved to examples/native_backends
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "native_backends"))
+    from native_recordio import NativeRecordReader
+
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "t.rec")
         write_records(path, _examples(N_RECORDS))
         out = {}
-        for backend in ("native", "numpy"):
-            r = RecordReader(path, batch_size=BATCH, shuffle_seed=0,
-                             backend=backend, num_threads=4)
-            out[backend] = measure(r)
-            r.close()
+        r = NativeRecordReader(path, batch_size=BATCH, shuffle_seed=0,
+                               num_threads=4)
+        out["native"] = measure(r)
+        r.close()
         r = RecordReader(path, batch_size=BATCH, shuffle_seed=0,
-                         backend="native", num_threads=4,
-                         shard_id=0, num_shards=8)
+                         backend="numpy")
+        out["numpy"] = measure(r)
+        r.close()
+        r = NativeRecordReader(path, batch_size=BATCH, shuffle_seed=0,
+                               num_threads=4, shard_id=0, num_shards=8)
         out["native_shard_0_of_8"] = measure(r, n_batches=32)
         r.close()
 
         t0 = time.perf_counter()
-        r = RecordReader(path, batch_size=BATCH, shuffle_seed=0,
-                         backend="native").restore_state(
+        r = NativeRecordReader(path, batch_size=BATCH,
+                               shuffle_seed=0).restore_state(
             {"consumed": 1_000_000})
         out["restore_1M_batches_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 1)

@@ -1,0 +1,321 @@
+"""Closed-loop scripted-task evaluation: success rates for every arm.
+
+The one evidence class the repo lacked (VERDICT r4 item 1): every prior
+quality claim was a loss/MAE over a memorization pool.  This runs the
+FULL loop on the deterministic "reach the {color} block" task
+(utils/sim.py): expert episodes -> diffusion-policy training -> serving
+through ``PolicyEngine`` -> closed-loop rollouts -> success rate, for
+
+  models      {octo_base, octo_deep}
+  compression {vanilla, tome, prune}        (trained arms)
+  sampler     {DDPM-32, DDIM-8}             (serve-time, same checkpoint)
+  towers      {bf16, w8 image+text}         (serve-time, same checkpoint)
+  seeds       {0, 1}                        (train seeds; eval scenes fixed)
+
+Tunnel protocol: training runs as jitted fori_loop SEGMENTS with the
+frame pool resident on device — the step gathers each batch's 2-frame
+windows from the pool by precomputed indices (one 16 MB gather instead
+of per-step host feeds; see benchmarks/train_convergence.py for why
+per-step dispatch is untenable over the axon tunnel).  Evaluation is
+genuinely closed-loop: the policy's own actions drive the next host-side
+render.
+
+Writes benchmarks/recorded/task_eval_r5.json.  Env knobs:
+  TASK_MODELS=base,deep  TASK_SEEDS=0,1  TASK_STEPS_BASE=1500
+  TASK_STEPS_DEEP=700  TASK_EPISODES=300  TASK_EVAL_EPISODES=64
+  TASK_BATCH=32  TASK_ARMS=vanilla,tome,prune
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(ROOT, ".jax_cache")))
+
+from multi_modal_transformers_tokenmerge_tpu import (  # noqa: E402
+    Octo, load_config)
+from multi_modal_transformers_tokenmerge_tpu.models.presets import (  # noqa: E402,E501
+    octo_deep)
+from multi_modal_transformers_tokenmerge_tpu.serve.policy import (  # noqa: E402,E501
+    PolicyEngine)
+from multi_modal_transformers_tokenmerge_tpu.train.optim import (  # noqa: E402,E501
+    make_optimizer)
+from multi_modal_transformers_tokenmerge_tpu.train.state import (  # noqa: E402,E501
+    create_train_state)
+from multi_modal_transformers_tokenmerge_tpu.train.steps import (  # noqa: E402,E501
+    make_train_step)
+from multi_modal_transformers_tokenmerge_tpu.utils.sim import (  # noqa: E402
+    ReachTask)
+
+MODELS = os.environ.get("TASK_MODELS", "base,deep").split(",")
+SEEDS = [int(s) for s in os.environ.get("TASK_SEEDS", "0,1").split(",")]
+ARMS = os.environ.get("TASK_ARMS", "vanilla,tome,prune").split(",")
+STEPS_BASE = int(os.environ.get("TASK_STEPS_BASE", "1500"))
+STEPS_DEEP = int(os.environ.get("TASK_STEPS_DEEP", "700"))
+N_EPISODES = int(os.environ.get("TASK_EPISODES", "300"))
+EVAL_EPISODES = int(os.environ.get("TASK_EVAL_EPISODES", "64"))
+BATCH = int(os.environ.get("TASK_BATCH", "32"))
+SEGMENTS = int(os.environ.get("TASK_SEGMENTS", "10"))
+FRAMES = 2
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_dataset(task: ReachTask, n_episodes: int, seed: int):
+    """Expert dataset as flat per-step arrays + 2-frame window indices.
+
+    Returns (frames (N,H,W,3) uint8, window_idx (N,F) int32,
+    actions (N,A) f32, text (N,16) int32)."""
+    rng = np.random.default_rng(seed)
+    frames, actions, texts, window_idx = [], [], [], []
+    base = 0
+    for ep in task.generate_episodes(rng, n_episodes):
+        t = ep["images"].shape[0]
+        frames.append(ep["images"])
+        actions.append(ep["actions"])
+        texts.append(np.broadcast_to(ep["text_ids"], (t, 16)))
+        idx = np.arange(base, base + t, dtype=np.int32)
+        prev = np.maximum(idx - 1, base)  # history clamps at episode start
+        window_idx.append(np.stack([prev, idx], axis=1))
+        base += t
+    return (np.concatenate(frames), np.concatenate(window_idx),
+            np.concatenate(actions).astype(np.float32),
+            np.concatenate(texts).astype(np.int32))
+
+
+def make_config(model_name: str, arm: str):
+    if model_name == "base":
+        cfg = load_config("octo_base_tome", ["dtype=bfloat16"])
+        if arm == "vanilla":
+            cfg = cfg.replace(
+                compression_sequence=None,
+                transformer=cfg.transformer.replace(
+                    compression_mode="none"))
+        elif arm == "prune":
+            cfg = cfg.replace(transformer=cfg.transformer.replace(
+                compression_mode="prune"))
+        elif arm != "tome":
+            raise ValueError(arm)
+        return cfg, STEPS_BASE
+    if model_name == "deep":
+        cfg = octo_deep(dtype="bfloat16")
+        if arm == "vanilla":
+            cfg = cfg.replace(
+                compression_sequence=None,
+                transformer=cfg.transformer.replace(
+                    compression_mode="none"))
+        elif arm == "prune":
+            cfg = cfg.replace(transformer=cfg.transformer.replace(
+                compression_mode="prune"))
+        elif arm != "tome":
+            raise ValueError(arm)
+        return cfg, STEPS_DEEP
+    raise ValueError(model_name)
+
+
+def train_arm(cfg, steps, seed, device_data):
+    """Train a diffusion policy on the expert dataset; returns
+    (model, variables-with-trained-params, loss_curve)."""
+    frames_d, window_d, actions_d, text_d = device_data
+    n_records = window_d.shape[0]
+    model = Octo(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(100 + seed), 4)
+    init_imgs = jnp.zeros((BATCH, FRAMES, *cfg.images.image_size),
+                          jnp.float32)
+    init_text = jnp.zeros((BATCH, cfg.text.max_length), jnp.int32)
+    variables = jax.jit(model.init)(
+        {"params": keys[0], "patch_encoding": keys[1],
+         "dropout": keys[2], "diffusion": keys[3]},
+        init_text, init_imgs)
+    tx = make_optimizer(peak_lr=3e-4, warmup_steps=100, total_steps=steps,
+                        params=variables["params"],
+                        frozen_prefixes=("text_encoder",))
+    state = create_train_state(
+        model, variables, tx,
+        rngs={"dropout": keys[2], "patch_encoding": keys[1],
+              "diffusion": keys[3]})
+    raw_step = make_train_step("diffusion", donate=False, jit=False)
+
+    # precomputed per-step record selections (epoch-shuffled, host-side)
+    perm_rng = np.random.default_rng(1000 + seed)
+    sel = np.stack([perm_rng.permutation(n_records)[:BATCH]
+                    for _ in range(steps)]).astype(np.int32)
+    sel_d = jnp.asarray(sel)
+
+    steps_per_seg = steps // SEGMENTS
+
+    @jax.jit
+    def segment(state, seg, frames, window, actions, text, sel):
+        def body(i, carry):
+            state, acc = carry
+            step_i = seg * steps_per_seg + i
+            ids = jax.lax.dynamic_index_in_dim(sel, step_i, keepdims=False)
+            win = jnp.take(window, ids, axis=0)          # (B, F)
+            imgs = jnp.take(frames, win.reshape(-1), axis=0).reshape(
+                BATCH, FRAMES, *frames.shape[1:]).astype(jnp.float32)
+            act = jnp.take(actions, ids, axis=0)
+            txt = jnp.take(text, ids, axis=0)
+            state, loss = raw_step(state, txt, imgs, act)
+            return state, acc + loss
+        state, acc = jax.lax.fori_loop(0, steps_per_seg, body,
+                                       (state, jnp.float32(0.0)),
+                                       unroll=False)
+        return state, acc / steps_per_seg
+
+    curve = []
+    t0 = time.time()
+    for s in range(SEGMENTS):
+        state, mean_loss = segment(state, jnp.int32(s), frames_d, window_d,
+                                   actions_d, text_d, sel_d)
+        curve.append(round(float(mean_loss), 5))
+        assert np.isfinite(curve[-1]), f"non-finite loss at segment {s}"
+        log(f"[task] seg {s + 1}/{SEGMENTS}: loss {curve[-1]:.4f} "
+            f"[{time.time() - t0:.0f}s]")
+    trained = {"params": jax.device_get(state.params)}
+    for coll, tree in variables.items():
+        if coll != "params":
+            trained[coll] = tree
+    return model, trained, curve
+
+
+def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed):
+    """Closed-loop success rate through PolicyEngine (fixed eval scenes:
+    same eval_seed -> same episodes across every arm)."""
+    kw = {}
+    if towers == "w8":
+        kw = {"image_tower": "w8", "text_tower": "w8"}
+    eng = PolicyEngine(model, variables, head="diffusion",
+                       batch_size=EVAL_EPISODES,
+                       rng=jax.random.PRNGKey(7), ddim_steps=ddim_steps,
+                       **kw)
+
+    def policy(obs, text):
+        return np.asarray(jax.device_get(
+            eng(jnp.asarray(obs), text_tokens=jnp.asarray(text))))
+
+    return task.rollout(policy, np.random.default_rng(9090 + eval_seed),
+                        EVAL_EPISODES, frames=FRAMES)
+
+
+def main():
+    task = ReachTask()  # 280x280, presets' native input
+    log(f"[task] dataset: {N_EPISODES} expert episodes "
+        f"x {task.episode_len} steps")
+    frames, window, actions, text = build_dataset(task, N_EPISODES, seed=42)
+    log(f"[task] frames {frames.shape} ({frames.nbytes / 1e6:.0f} MB), "
+        f"{window.shape[0]} windows")
+    device_data = (jnp.asarray(frames), jnp.asarray(window),
+                   jnp.asarray(actions), jnp.asarray(text))
+
+    # expert reference: the closed-loop ceiling on the same eval scenes
+    results = {"expert": expert_reference(task)}
+    log(f"[task] expert ceiling: "
+        f"{results['expert']['success_rate']:.3f}")
+
+    out = {}
+    for model_name in MODELS:
+        for arm in ARMS:
+            for seed in SEEDS:
+                name = f"{model_name}_{arm}_s{seed}"
+                cfg, steps = make_config(model_name, arm)
+                t0 = time.time()
+                log(f"[task] === training {name} ({steps} steps) ===")
+                model, trained, curve = train_arm(cfg, steps, seed,
+                                                  device_data)
+                train_wall = round(time.time() - t0, 1)
+                entry = {"train_loss_curve": curve,
+                         "train_wall_s": train_wall,
+                         "train_steps": steps,
+                         "steps_per_sec_wall": round(steps / train_wall, 2)}
+                for sampler, ddim in (("ddpm32", None), ("ddim8", 8)):
+                    for towers in ("bf16", "w8"):
+                        t1 = time.time()
+                        r = eval_arm(task, model, trained,
+                                     ddim_steps=ddim, towers=towers,
+                                     eval_seed=seed)
+                        r["eval_wall_s"] = round(time.time() - t1, 1)
+                        entry[f"{sampler}_{towers}"] = r
+                        log(f"[task] {name} {sampler}/{towers}: "
+                            f"success {r['success_rate']:.3f} "
+                            f"(dist {r['mean_final_distance']:.3f})")
+                out[name] = entry
+    results.update(out)
+
+    # headline: flagship tome arm, ddpm32/bf16, mean over seeds
+    def seed_mean(model_name, arm, key):
+        vals = [out[f"{model_name}_{arm}_s{s}"][key]["success_rate"]
+                for s in SEEDS
+                if f"{model_name}_{arm}_s{s}" in out]
+        return round(float(np.mean(vals)), 3) if vals else None
+
+    summary = {}
+    for m in MODELS:
+        for arm in ARMS:
+            for k in ("ddpm32_bf16", "ddim8_bf16", "ddpm32_w8"):
+                v = seed_mean(m, arm, k)
+                if v is not None:
+                    summary[f"{m}_{arm}_{k}"] = v
+
+    payload = {
+        "metric": "reach_task_closed_loop_success_rate",
+        "value": summary.get("base_tome_ddpm32_bf16"),
+        "unit": "success rate (64 episodes x 2 seeds, closed loop)",
+        "vs_baseline": None,
+        "detail": {
+            "task": "reach the {color} block (utils/sim.py)",
+            "episodes_per_eval": EVAL_EPISODES,
+            "train_episodes": N_EPISODES,
+            "seeds": SEEDS,
+            "summary_success": summary,
+            "arms": results,
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+    rec = os.path.join(ROOT, "benchmarks", "recorded")
+    os.makedirs(rec, exist_ok=True)
+    with open(os.path.join(rec, "task_eval_r5.json"), "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    print(json.dumps({k: payload[k] for k in
+                      ("metric", "value", "unit")} | {
+                          "summary": summary}), flush=True)
+
+
+def expert_reference(task: ReachTask) -> dict:
+    """Closed-loop expert on the seed-9090 eval scenes (the ceiling the
+    learned arms are read against; the expert acts from env state, not
+    pixels, so it bypasses the policy interface)."""
+    rng = np.random.default_rng(9090 + SEEDS[0])
+    state = task.reset(rng, EVAL_EPISODES)
+    done = np.zeros((EVAL_EPISODES,), bool)
+    steps_to = np.full((EVAL_EPISODES,), np.inf)
+    for t in range(task.max_steps):
+        act = task.expert_action(state)
+        act = np.where(done[:, None], 0.0, act)
+        state = task.step(state, act)
+        newly = task.succeeded(state) & ~done
+        steps_to[newly] = t + 1
+        done |= newly
+    return {"success_rate": float(done.mean()),
+            "mean_final_distance": float(
+                task.distance_to_target(state).mean()),
+            "mean_steps_to_success": float(
+                steps_to[np.isfinite(steps_to)].mean())
+            if np.isfinite(steps_to).any() else float("nan"),
+            "episodes": int(EVAL_EPISODES)}
+
+
+if __name__ == "__main__":
+    main()

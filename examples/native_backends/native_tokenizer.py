@@ -1,30 +1,36 @@
-"""ctypes bindings for the native C++ word tokenizer.
+"""ctypes bindings for the native C++ word tokenizer (EXAMPLE — demoted
+from the package in round 5; see README.md in this directory).
 
-Compiles ``utils/native/tokenizer.cpp`` with the system C++ toolchain on
-first use (cached as a shared object next to the source) and exposes a
-WordTokenizer-compatible API.  Falls back to the pure-Python
-``modules.text.WordTokenizer`` when no toolchain is available.
+Compiles ``tokenizer.cpp`` with the system C++ toolchain on first use
+(cached as a shared object next to the source) and exposes a
+WordTokenizer-compatible API.  The supported tokenizer is the pure-Python
+``modules.text.WordTokenizer``; this exists for hosts where a measured
+multi-core win justifies the compiled path.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import sys
 import threading
 from typing import Iterable, Sequence
 
 import numpy as np
 
+# sibling imports (native_build) work no matter where this is run from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 __all__ = ["NativeWordTokenizer", "native_toolchain_available"]
 
-_SRC = os.path.join(os.path.dirname(__file__), "native", "tokenizer.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "native", "_tokenizer.so")
+_SRC = os.path.join(os.path.dirname(__file__), "tokenizer.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "_tokenizer.so")
 _build_lock = threading.Lock()
 _lib = None
 
 
 def native_toolchain_available() -> bool:
-    from .native_build import toolchain_available
+    from native_build import toolchain_available
     return toolchain_available()
 
 
@@ -33,7 +39,7 @@ def _load():
     with _build_lock:
         if _lib is not None:
             return _lib
-        from .native_build import build_native_lib
+        from native_build import build_native_lib
         lib = build_native_lib(_SRC, _SO)
         lib.tok_create.restype = ctypes.c_void_p
         lib.tok_create.argtypes = [ctypes.c_char_p]

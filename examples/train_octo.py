@@ -9,7 +9,7 @@ Covers the full training path: config -> model init -> optimizer with
 warmup-cosine + clipping -> prefetched data -> jitted donated train steps
 (optionally data-parallel over all local devices) -> metrics -> orbax
 checkpointing.  ``--recordio FILE`` writes a synthetic dataset to FILE on
-first use and streams batches through the native threaded record loader
+first use and streams batches through the memmap record loader
 (utils/recordio.py) instead of generating them in Python per step.
 """
 
@@ -52,7 +52,7 @@ def main():
                         "a t5-kind frozen text tower; skips ~20%% of the "
                         "forward every step)")
     p.add_argument("--recordio", default=None, metavar="FILE",
-                   help="stream batches from FILE via the native record "
+                   help="stream batches from FILE via the record "
                         "loader (synthetic data written there on first use)")
     p.add_argument("--shards", type=int, default=None,
                    help="shard the record stream across N hosts (default: "

@@ -1,16 +1,18 @@
-"""Fixed-record binary dataset format with a native threaded reader.
+"""Fixed-record binary dataset format with a memmap batch reader.
 
 The reference has no data-loading layer at all (SURVEY.md §1); robot-policy
 training data (images + actions + instruction ids per step) is fixed-shape,
 which this format exploits: every record is the same byte size, so batch
-assembly is pure ``pread`` at computed offsets — no parsing on the hot
-path.  The C++ reader (``utils/native/recordio.cpp``) runs a worker pool
-off the GIL that fills a bounded in-order queue of ready batches; Python
-pops a batch with one memcpy and hands numpy views per field.  Pair with
-``utils.data.prefetch_to_device`` to overlap host IO with device compute.
+assembly is one gather from per-file memmaps at computed offsets — no
+parsing on the hot path.  Pair with ``utils.data.prefetch_to_device`` to
+overlap host IO with device compute.
 
-A pure-numpy fallback reader keeps everything working without a C++
-toolchain.
+The numpy memmap reader is the ONE supported backend: it measured 3.3x
+faster than a C++ threaded worker pool on this rig and already outruns the
+train step's demand (benchmarks/recorded/reader_sweep_r4.json).  The C++
+reader lives on as an unsupported example for multi-core hosts —
+``examples/native_backends/native_recordio.py`` (demoted round 5, VERDICT
+r4 item 6).
 
 Format (little-endian):
   magic "MMTRECv1" | u32 schema_len | schema JSON | u32 record_size |
@@ -20,22 +22,16 @@ Schema JSON: ``[[name, [shape...], dtype_str], ...]``.
 
 from __future__ import annotations
 
-import ctypes
 import json
 import os
 import struct
-import threading
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 
 __all__ = ["write_records", "RecordReader", "record_schema_of"]
 
 _MAGIC = b"MMTRECv1"
-_SRC = os.path.join(os.path.dirname(__file__), "native", "recordio.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "native", "_recordio.so")
-_build_lock = threading.Lock()
-_lib = None
 
 Schema = List[Tuple[str, Tuple[int, ...], str]]
 
@@ -95,45 +91,6 @@ def write_records(path: str, examples: Iterable[Dict[str, np.ndarray]],
     return n
 
 
-def _native_available() -> bool:
-    from .native_build import toolchain_available
-    return toolchain_available()
-
-
-def _load_lib():
-    global _lib
-    with _build_lock:
-        if _lib is not None:
-            return _lib
-        from .native_build import build_native_lib
-        lib = build_native_lib(_SRC, _SO, extra_flags=("-pthread",))
-        lib.rio_open.restype = ctypes.c_void_p
-        lib.rio_open.argtypes = [ctypes.c_char_p]
-        lib.rio_open_multi.restype = ctypes.c_void_p
-        lib.rio_open_multi.argtypes = [ctypes.c_char_p]
-        lib.rio_num_records.restype = ctypes.c_uint64
-        lib.rio_num_records.argtypes = [ctypes.c_void_p]
-        lib.rio_record_size.restype = ctypes.c_uint32
-        lib.rio_record_size.argtypes = [ctypes.c_void_p]
-        lib.rio_schema.restype = ctypes.c_int
-        lib.rio_schema.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                   ctypes.c_int]
-        lib.rio_start.restype = ctypes.c_int
-        lib.rio_start.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
-                                  ctypes.c_int, ctypes.c_uint64,
-                                  ctypes.c_int, ctypes.c_int,
-                                  ctypes.c_uint32, ctypes.c_uint32]
-        lib.rio_next_batch.restype = ctypes.c_int
-        lib.rio_next_batch.argtypes = [ctypes.c_void_p,
-                                       ctypes.POINTER(ctypes.c_uint8)]
-        lib.rio_skip.restype = None
-        lib.rio_skip.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
-        lib.rio_close.restype = None
-        lib.rio_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
-
-
 def _read_header(path: str):
     with open(path, "rb") as f:
         if f.read(8) != _MAGIC:
@@ -158,21 +115,15 @@ class RecordReader:
     ``jax.process_index()``/``jax.process_count()``); remainder records
     beyond ``num_records // num_shards`` are dropped.
 
-    ``backend='numpy'`` (the measured default — ``'auto'`` resolves to
-    it, see __init__) assembles batches from memmaps in one copy;
-    ``backend='native'`` opts into the experimental C++ threaded reader.
-    Iteration is infinite (epochs stream back to back); batches within an
-    epoch cover distinct records (shuffled by a per-epoch permutation when
-    ``shuffle_seed`` is given; remainder records beyond the last full batch
-    of an epoch are dropped).  Each backend's shuffle is deterministic
-    given the seed, but the two backends use different permutation
-    algorithms (cycle-walking bijection vs numpy Fisher-Yates), so their
-    orders differ from each other.  Shard disjointness holds within either
-    backend (all shards of a job must use the same backend and seed).
+    Batches are assembled from per-file memmaps in one copy.  Iteration
+    is infinite (epochs stream back to back); batches within an epoch
+    cover distinct records (shuffled by a per-epoch permutation when
+    ``shuffle_seed`` is given; remainder records beyond the last full
+    batch of an epoch are dropped).  The shuffle is deterministic given
+    the seed, which ``restore_state`` relies on for exact resume.
     """
 
     def __init__(self, path, batch_size: int, shuffle_seed=None,
-                 num_threads: int = 2, queue_depth: int = 4,
                  backend: str = "auto", copy_fields: bool = False,
                  shard_id: int = 0, num_shards: int = 1):
         paths = [path] if isinstance(path, (str, os.PathLike)) else list(path)
@@ -201,40 +152,20 @@ class RecordReader:
                 f"({self.num_records} total / {num_shards} shards)")
         self.shuffle_seed = shuffle_seed
         self.copy_fields = copy_fields
-        if backend == "auto":
-            # DATA-DRIVEN DEFAULT (round 4): numpy wins every reachable
-            # configuration on this rig — 5,697 MB/s vs the native
-            # pool's best 1,762 MB/s across 1-8 worker threads
-            # (benchmarks/recorded/reader_sweep_r4.json; the r3 rule
-            # keyed on host cores but was only ever measured on a 1-CPU
-            # host).  Both backends outrun the train step's ~2.1 GB/s
-            # demand; numpy does it with one copy and no thread pool.
-            # The native C++ reader remains an EXPLICIT opt-in
-            # (backend='native'): correctness-tested (tests/
-            # test_recordio.py), perf-unvalidated on multi-core hosts —
-            # rerun exp_reader_sweep_r4.py on a real multi-core rig
-            # before preferring it.
-            backend = "numpy"
-        self.backend = backend
-        self._handle = None
         if backend == "native":
-            lib = _load_lib()
-            handle = lib.rio_open_multi(
-                "\n".join(self.paths).encode("utf-8"))
-            if not handle:
-                raise RuntimeError(f"rio_open failed for {self.paths}")
-            rc = lib.rio_start(
-                handle, batch_size, num_threads,
-                0 if shuffle_seed is None else int(shuffle_seed),
-                0 if shuffle_seed is None else 1, queue_depth,
-                shard_id, num_shards)
-            if rc != 0:
-                lib.rio_close(handle)
-                raise RuntimeError("rio_start failed")
-            self._handle = handle
-            self._lib = lib
-        elif backend != "numpy":
+            # the C++ threaded reader measured 3.3x SLOWER than this
+            # memmap reader on the rig it was built for
+            # (benchmarks/recorded/reader_sweep_r4.json) and was demoted
+            # out of the package in round 5
+            raise ValueError(
+                "backend='native' was removed from the package; the numpy "
+                "memmap reader is the one supported backend.  The C++ "
+                "reader lives in examples/native_backends/"
+                "native_recordio.py (NativeRecordReader, same contract) "
+                "for hosts where a measured multi-core win justifies it.")
+        if backend not in ("auto", "numpy"):
             raise ValueError(f"unknown backend {backend!r}")
+        self.backend = "numpy"
         self._epoch = 0
         self._pos = 0
         self._perm = None
@@ -307,25 +238,10 @@ class RecordReader:
 
     def __next__(self) -> Dict[str, np.ndarray]:
         if self._closed:
-            # without this, a closed native reader would silently FALL
-            # BACK to the numpy branch and re-serve epoch 0 in a
-            # different order (e.g. a prefetch thread draining after
-            # cleanup)
+            # a closed reader must stop (e.g. a prefetch thread draining
+            # after cleanup), not re-open memmaps and re-serve epoch 0
             raise StopIteration
-        if self._handle is not None:
-            buf = np.empty(self.batch_size * self.record_size,
-                           dtype=np.uint8)
-            rc = self._lib.rio_next_batch(
-                self._handle,
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-            if rc == -2:
-                raise RuntimeError(
-                    f"record read failed in {self.path!r} (truncated file "
-                    "or IO error)")
-            if rc != 0:
-                raise StopIteration
-        else:
-            buf = self._next_numpy()
+        buf = self._next_numpy()
         self._consumed += 1
         return self._split(buf)
 
@@ -339,33 +255,27 @@ class RecordReader:
 
     def restore_state(self, state: Dict[str, int]) -> "RecordReader":
         """Fast-forward a FRESH reader (same paths/batch_size/shuffle_seed/
-        shard config) to a ``state()`` snapshot.  Each backend's order is
+        shard config) to a ``state()`` snapshot.  The order is
         deterministic given the seed, so the resumed stream continues
-        exactly — and both backends fast-forward in O(1): record
-        selection is a pure function of the batch counter (``rio_skip``
-        natively; permutation/position math in numpy), so nothing is read
-        or replayed no matter how long the original run was.
+        exactly — and the fast-forward is O(1): record selection is a pure
+        function of the batch counter (permutation/position math), so
+        nothing is read or replayed no matter how long the original run
+        was.
         """
         consumed = int(state["consumed"])
         if self._consumed:
             raise ValueError(
                 "restore_state requires a fresh reader (already consumed "
                 f"{self._consumed} batches)")
-        if self._handle is not None:
-            self._lib.rio_skip(self._handle, consumed)
-        else:
-            full_epochs, rem = divmod(consumed, self.batches_per_epoch)
-            self._perm = self._epoch_perm(full_epochs)
-            self._epoch = full_epochs + 1
-            self._pos = rem * self.batch_size
+        full_epochs, rem = divmod(consumed, self.batches_per_epoch)
+        self._perm = self._epoch_perm(full_epochs)
+        self._epoch = full_epochs + 1
+        self._pos = rem * self.batch_size
         self._consumed = consumed
         return self
 
     def close(self):
         self._closed = True
-        if self._handle is not None:
-            self._lib.rio_close(self._handle)
-            self._handle = None
         self._mm = None  # drop the memmaps (and their file descriptors)
 
     def __del__(self):

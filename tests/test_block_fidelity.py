@@ -20,6 +20,9 @@ from multi_modal_transformers_tokenmerge_tpu.modules.attention import (
 
 from ref_loader import load_ref_attention
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 EMBED, HEADS, SEQ, B = 48, 3, 10, 2
 
 

@@ -13,6 +13,9 @@ from multi_modal_transformers_tokenmerge_tpu.core.config import (
 from multi_modal_transformers_tokenmerge_tpu.modules.image_tokenizer import (
     ResNetV2Embedder)
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 
 def _pair(scope):
     return (ResNetEmbedderConfig(norm_stats_scope=scope, conv_layout="hwcn"),

@@ -16,6 +16,9 @@ from multi_modal_transformers_tokenmerge_tpu.ops.image_ops import (
 
 from ref_loader import load_ref_image_tokenizer
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ref():

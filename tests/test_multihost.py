@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = textwrap.dedent("""

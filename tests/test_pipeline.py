@@ -20,6 +20,9 @@ from multi_modal_transformers_tokenmerge_tpu.parallel.pipeline import (
     split_stages,
 )
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 B, S, E, LAYERS = 8, 6, 16, 8
 
 

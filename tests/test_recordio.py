@@ -1,5 +1,7 @@
-"""Native record loader: format round-trip, epoch coverage, native/numpy
-backend agreement, and train-pipeline integration."""
+"""Record loader: format round-trip, epoch coverage, sharding, and
+train-pipeline integration for the numpy memmap reader (the one supported
+backend — the C++ threaded reader was demoted to
+examples/native_backends/ in round 5, VERDICT r4 item 6)."""
 
 import os
 
@@ -39,9 +41,17 @@ def test_header_and_schema(record_file):
     assert r.batches_per_epoch == N // B
 
 
-@pytest.mark.parametrize("backend", ["numpy", "native"])
-def test_sequential_batches_cover_epoch_in_order(record_file, backend):
-    r = RecordReader(record_file, batch_size=B, backend=backend)
+def test_native_backend_removed_raises(record_file):
+    """backend='native' must fail loudly with a pointer to the example,
+    not silently fall back."""
+    with pytest.raises(ValueError, match="native_backends"):
+        RecordReader(record_file, batch_size=B, backend="native")
+    with pytest.raises(ValueError, match="unknown backend"):
+        RecordReader(record_file, batch_size=B, backend="bogus")
+
+
+def test_sequential_batches_cover_epoch_in_order(record_file):
+    r = RecordReader(record_file, batch_size=B)
     seen = []
     for _ in range(r.batches_per_epoch):
         batch = next(r)
@@ -58,10 +68,8 @@ def test_sequential_batches_cover_epoch_in_order(record_file, backend):
     r.close()
 
 
-@pytest.mark.parametrize("backend", ["numpy", "native"])
-def test_shuffled_epoch_is_a_permutation(record_file, backend):
-    r = RecordReader(record_file, batch_size=B, shuffle_seed=7,
-                     backend=backend)
+def test_shuffled_epoch_is_a_permutation(record_file):
+    r = RecordReader(record_file, batch_size=B, shuffle_seed=7)
     epoch1 = []
     for _ in range(r.batches_per_epoch):
         epoch1.extend(next(r)["text"][:, 0].tolist())
@@ -77,16 +85,15 @@ def test_shuffled_epoch_is_a_permutation(record_file, backend):
     r.close()
 
 
-def test_native_feeds_device_prefetch(record_file):
-    """Native reader -> prefetch_to_device -> jitted consumer."""
+def test_reader_feeds_device_prefetch(record_file):
+    """Reader -> prefetch_to_device -> jitted consumer."""
     import jax
     import jax.numpy as jnp
 
     from multi_modal_transformers_tokenmerge_tpu.utils.data import (
         prefetch_to_device)
 
-    r = RecordReader(record_file, batch_size=B, shuffle_seed=3,
-                     backend="native")
+    r = RecordReader(record_file, batch_size=B, shuffle_seed=3)
     stream = prefetch_to_device(iter(r), size=2)
 
     @jax.jit
@@ -106,41 +113,36 @@ def test_writer_rejects_shape_drift(tmp_path):
         write_records(str(tmp_path / "bad.rec"), bad)
 
 
-def test_native_reader_raises_on_truncated_file(tmp_path):
-    """A truncated record file must raise, not hang the consumer
-    (the worker flags the IO error and wakes the queue)."""
+def test_reader_raises_on_truncated_file(tmp_path):
+    """A truncated record file must raise when the damaged batch is
+    assembled, not return short/garbage data."""
     path = str(tmp_path / "trunc.rec")
     write_records(path, _examples(24))
     size = os.path.getsize(path)
     with open(path, "r+b") as f:
         f.truncate(size - 100)  # chop into the last records
-    r = RecordReader(path, batch_size=8, backend="native")
-    with pytest.raises((RuntimeError, StopIteration), match=""):
-        # in-order delivery: iterate until the damaged batch surfaces
+    r = RecordReader(path, batch_size=8)
+    with pytest.raises(Exception):
         for _ in range(r.batches_per_epoch):
             next(r)
     r.close()
 
 
-@pytest.mark.parametrize("backend", ["numpy", "native"])
 @pytest.mark.parametrize("consumed", [0, 3, 4, 7, 9])
-def test_restore_state_continues_stream(record_file, backend, consumed):
+def test_restore_state_continues_stream(record_file, consumed):
     """Mid-epoch resume: a fresh reader fast-forwarded to state() must
     yield exactly the batches the original reader would have yielded next
     (consumed spans: epoch start, mid-epoch, exact epoch boundary, and
     into epoch 2+; batches_per_epoch here is 4)."""
-    if backend == "native":
-        pytest.importorskip("ctypes")
-    r1 = RecordReader(record_file, batch_size=B, shuffle_seed=11,
-                      backend=backend)
+    r1 = RecordReader(record_file, batch_size=B, shuffle_seed=11)
     for _ in range(consumed):
         next(r1)
     snap = r1.state()
     want = [next(r1)["text"][:, 0].tolist() for _ in range(5)]
     r1.close()
 
-    r2 = RecordReader(record_file, batch_size=B, shuffle_seed=11,
-                      backend=backend).restore_state(snap)
+    r2 = RecordReader(record_file, batch_size=B,
+                      shuffle_seed=11).restore_state(snap)
     got = [next(r2)["text"][:, 0].tolist() for _ in range(5)]
     assert got == want
     assert r2.state()["consumed"] == consumed + 5
@@ -148,7 +150,7 @@ def test_restore_state_continues_stream(record_file, backend, consumed):
 
 
 def test_restore_state_requires_fresh_reader(record_file):
-    r = RecordReader(record_file, batch_size=B, backend="numpy")
+    r = RecordReader(record_file, batch_size=B)
     next(r)
     with pytest.raises(ValueError, match="fresh"):
         r.restore_state({"consumed": 0})
@@ -172,10 +174,8 @@ def multi_files(tmp_path_factory):
     return paths
 
 
-@pytest.mark.parametrize("backend", ["numpy", "native"])
-def test_multi_file_epoch_covers_concatenated_records(multi_files, backend):
-    r = RecordReader(multi_files, batch_size=6, shuffle_seed=3,
-                     backend=backend)
+def test_multi_file_epoch_covers_concatenated_records(multi_files):
+    r = RecordReader(multi_files, batch_size=6, shuffle_seed=3)
     assert r.num_records == 37
     seen = []
     for _ in range(r.batches_per_epoch):
@@ -188,14 +188,13 @@ def test_multi_file_epoch_covers_concatenated_records(multi_files, backend):
     r.close()
 
 
-@pytest.mark.parametrize("backend", ["numpy", "native"])
-def test_sharded_readers_are_disjoint_and_cover(multi_files, backend):
+def test_sharded_readers_are_disjoint_and_cover(multi_files):
     """Two shards of the same seed: per-epoch record sets are disjoint,
     and their union is 2 * (37 // 2 // 6 * 6) distinct records."""
     per_epoch = {}
     for shard in (0, 1):
         r = RecordReader(multi_files, batch_size=6, shuffle_seed=9,
-                         backend=backend, shard_id=shard, num_shards=2)
+                         shard_id=shard, num_shards=2)
         assert r.batches_per_epoch == (37 // 2) // 6
         got = []
         for _ in range(r.batches_per_epoch):
@@ -207,18 +206,16 @@ def test_sharded_readers_are_disjoint_and_cover(multi_files, backend):
     assert len(per_epoch[0] | per_epoch[1]) == 2 * ((37 // 2) // 6) * 6
 
 
-@pytest.mark.parametrize("backend", ["numpy", "native"])
-def test_sharded_restore_state(multi_files, backend):
+def test_sharded_restore_state(multi_files):
     r1 = RecordReader(multi_files, batch_size=4, shuffle_seed=2,
-                      backend=backend, shard_id=1, num_shards=2)
+                      shard_id=1, num_shards=2)
     for _ in range(5):
         next(r1)
     snap = r1.state()
     want = [next(r1)["text"][:, 0].tolist() for _ in range(4)]
     r1.close()
     r2 = RecordReader(multi_files, batch_size=4, shuffle_seed=2,
-                      backend=backend, shard_id=1,
-                      num_shards=2).restore_state(snap)
+                      shard_id=1, num_shards=2).restore_state(snap)
     got = [next(r2)["text"][:, 0].tolist() for _ in range(4)]
     assert got == want
     r2.close()
@@ -229,7 +226,7 @@ def test_multi_file_schema_mismatch_raises(multi_files, tmp_path):
     write_records(bad, ({"other": np.zeros((2,), np.float32)}
                         for _ in range(4)))
     with pytest.raises(ValueError, match="schema"):
-        RecordReader(multi_files + [bad], batch_size=4, backend="numpy")
+        RecordReader(multi_files + [bad], batch_size=4)
 
 
 def test_shard_args_validated(record_file):
@@ -240,14 +237,13 @@ def test_shard_args_validated(record_file):
         RecordReader(record_file, batch_size=8, num_shards=8)
 
 
-def test_native_restore_state_is_o1_for_huge_consumed(record_file):
-    """rio_skip fast-forwards without reading: restoring a position tens
-    of thousands of batches deep must be near-instant and still exact."""
+def test_restore_state_is_o1_for_huge_consumed(record_file):
+    """restore_state fast-forwards without reading: restoring a position
+    tens of thousands of batches deep must be near-instant and exact."""
     import time
 
     consumed = 50_000  # ~12.5k epochs of this fixture
-    r1 = RecordReader(record_file, batch_size=B, shuffle_seed=13,
-                      backend="native")
+    r1 = RecordReader(record_file, batch_size=B, shuffle_seed=13)
     t0 = time.perf_counter()
     r1.restore_state({"consumed": consumed})
     elapsed = time.perf_counter() - t0
@@ -255,10 +251,9 @@ def test_native_restore_state_is_o1_for_huge_consumed(record_file):
     got = [next(r1)["text"][:, 0].tolist() for _ in range(3)]
     r1.close()
 
-    # exactness: numpy-independent check against a second native reader
-    # that reaches the same position by a smaller skip + real reads
-    r2 = RecordReader(record_file, batch_size=B, shuffle_seed=13,
-                      backend="native")
+    # exactness: check against a second reader that reaches the same
+    # position by a smaller skip + real reads
+    r2 = RecordReader(record_file, batch_size=B, shuffle_seed=13)
     r2.restore_state({"consumed": consumed - 2})
     next(r2), next(r2)
     want = [next(r2)["text"][:, 0].tolist() for _ in range(3)]
@@ -267,12 +262,12 @@ def test_native_restore_state_is_o1_for_huge_consumed(record_file):
 
 
 @pytest.mark.slow
-def test_native_shard_invariants_fuzz(tmp_path):
-    """Property fuzz over the C++ cycle-walking permutation: for random
-    (file split, batch size, shard count, seed), every epoch's shard
-    streams are (a) in-range, (b) duplicate-free, (c) mutually disjoint,
-    (d) exactly span//batch*batch records each, and (e) reproducible
-    given the seed."""
+def test_shard_invariants_fuzz(tmp_path):
+    """Property fuzz over the epoch permutation: for random (file split,
+    batch size, shard count, seed), every epoch's shard streams are (a)
+    in-range, (b) duplicate-free, (c) mutually disjoint, (d) exactly
+    span//batch*batch records each, and (e) reproducible given the
+    seed."""
     rng = np.random.default_rng(0xF00D)
     for case in range(6):
         n_files = int(rng.integers(1, 4))
@@ -294,8 +289,7 @@ def test_native_shard_invariants_fuzz(tmp_path):
 
         def epoch_stream(shard, epochs=2):
             r = RecordReader(paths, batch_size=batch, shuffle_seed=seed,
-                             backend="native", shard_id=shard,
-                             num_shards=num_shards)
+                             shard_id=shard, num_shards=num_shards)
             out = [[] for _ in range(epochs)]
             for e in range(epochs):
                 for _ in range(r.batches_per_epoch):
@@ -313,17 +307,14 @@ def test_native_shard_invariants_fuzz(tmp_path):
                 assert len(set(recs)) == len(recs), (case, s, e)
                 all_recs.extend(recs)
             assert len(set(all_recs)) == len(all_recs), (case, e)
-        # same seed -> identical stream; epochs differ (when shuffling
-        # has room to differ)
+        # same seed -> identical stream
         assert epoch_stream(0) == streams[0]
 
 
-def test_closed_reader_raises_not_numpy_fallback(record_file):
-    """A closed native reader must stop, not silently fall back to the
-    numpy branch and re-serve epoch 0 (prefetch threads drain after
-    cleanup)."""
-    r = RecordReader(record_file, batch_size=B, shuffle_seed=1,
-                     backend="native")
+def test_closed_reader_raises_not_restart(record_file):
+    """A closed reader must stop (prefetch threads drain after cleanup),
+    not re-open memmaps and re-serve epoch 0."""
+    r = RecordReader(record_file, batch_size=B, shuffle_seed=1)
     next(r)
     r.close()
     with pytest.raises(StopIteration):

@@ -4,6 +4,7 @@ future rounds).  Regenerate intentionally with:
     python tests/test_regression_golden.py regen
 """
 
+import pytest
 import os
 
 import jax
@@ -15,6 +16,9 @@ from multi_modal_transformers_tokenmerge_tpu.core.config import (
     TransformerConfig)
 
 from micro_configs import octo_micro
+
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
                       "octo_micro_eval.npz")

@@ -15,6 +15,9 @@ from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
     SequenceLayout,
 )
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 B, S, H, D = 2, 64, 2, 8
 
 

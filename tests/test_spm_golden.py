@@ -29,6 +29,9 @@ from multi_modal_transformers_tokenmerge_tpu.utils.spm import (
     CONTROL, NORMAL, UNKNOWN, SentencePieceUnigramModel, T5StyleTokenizer,
     build_model_proto)
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 S = "▁"  # sentencepiece space marker
 
 # (piece, unigram log-prob score, real t5-base id).  Scores are realistic

@@ -29,6 +29,9 @@ def _hf_model():
 from multi_modal_transformers_tokenmerge_tpu.compat import (  # noqa: E402
     convert_hf_t5_encoder_params)
 
+# golden/fidelity/parallel suite: nightly lane (VERDICT r4 item 7)
+pytestmark = pytest.mark.slow
+
 
 def test_native_t5_matches_hf():
     hf = _hf_model()

@@ -1,5 +1,5 @@
-"""Tests: native tokenizer parity, data prefetching, ball query, MAP-pooled
-head, distributed helpers, logging."""
+"""Tests: data prefetching, ball query, MAP-pooled head, distributed
+helpers, logging, CLI."""
 
 import json
 import io
@@ -27,36 +27,6 @@ from multi_modal_transformers_tokenmerge_tpu.utils.data import (
     synthetic_octo_batches,
 )
 from multi_modal_transformers_tokenmerge_tpu.utils.logging import MetricLogger
-from multi_modal_transformers_tokenmerge_tpu.utils.native_tokenizer import (
-    NativeWordTokenizer,
-    native_toolchain_available,
-)
-
-
-@pytest.mark.skipif(not native_toolchain_available(),
-                    reason="no C++ toolchain")
-def test_native_tokenizer_matches_python():
-    corpus = ["Pick up the red block", "Place it on the GREEN block",
-              "an unseen zebra word"]
-    py = WordTokenizer.from_corpus(corpus[:2], max_length=8)
-    cc = NativeWordTokenizer.from_corpus(corpus[:2], max_length=8)
-    assert cc.vocab_size == py.vocab_size
-    np.testing.assert_array_equal(cc(corpus), py(corpus))
-    # unknown words map to UNK in both
-    assert cc(["zebra"])[0, 0] == NativeWordTokenizer.UNK
-
-
-@pytest.mark.skipif(not native_toolchain_available(),
-                    reason="no C++ toolchain")
-def test_native_tokenizer_edge_cases():
-    cc = NativeWordTokenizer(["alpha", "beta"], max_length=4)
-    out = cc(["", "alpha " * 10, "ALPHA beta"])
-    assert out.shape == (3, 4)
-    np.testing.assert_array_equal(out[0], [0, 0, 0, 0])  # all pad
-    assert (out[1] == out[1][0]).all()  # truncated repeats
-    assert out[2][0] != out[2][1]
-
-
 def test_prefetch_to_device_order_and_placement():
     batches = [(np.full((4, 2), i, np.float32),) for i in range(5)]
     out = list(prefetch_to_device(iter(batches), size=2))
@@ -169,22 +139,6 @@ def test_cli_data_subcommand(tmp_path, capsys):
                               "dtype": "float32"}]
     assert out["is_episode_file"] is False
     assert main(["data"]) == 2
-
-
-def test_native_tokenizer_unicode_lower_matches_python():
-    """Non-ASCII case folding: the wrapper lowers with str.lower() before
-    crossing into C++ (whose tolower is ASCII-only), so both tokenizers
-    emit the same ids for accented text."""
-    from multi_modal_transformers_tokenmerge_tpu.modules.text import (
-        WordTokenizer)
-    from multi_modal_transformers_tokenmerge_tpu.utils.native_tokenizer \
-        import NativeWordTokenizer
-
-    corpus = ["déplacer le bloc rouge"]
-    py = WordTokenizer.from_corpus(corpus, max_length=8)
-    nat = NativeWordTokenizer.from_corpus(corpus, max_length=8)
-    for text in ["Déplacer le BLOC", "déplacer le bloc rouge"]:
-        assert nat.encode(text) == py.encode(text), text
 
 
 def test_bench_compact_line_fits_capture_window():
