@@ -343,6 +343,9 @@ def main():
             # win).  Defensive: a kernel-compile failure here must not
             # take down the headline artifact.
             for key_, thunk in (
+                # per-regime train table (VERDICT r4 item 5): deep
+                # ToMe/vanilla + multicam with ANALYTIC MFU accounting
+                ("train_regimes", lambda: bench_train_regimes(peak)),
                 ("pool_bwd_pallas", bench_pool_bwd),
                 ("train_pool_pallas", lambda: bench_train(
                     configs["ours_bf16"].replace(
@@ -426,6 +429,18 @@ def compact_line(payload, fname):
         if "ddim8_p50_ms" in d["serving_b1"]:
             compact_detail["serving_b1_ddim8_p50_ms"] = \
                 d["serving_b1"]["ddim8_p50_ms"]
+        if "ddim8_speedup_paired" in d["serving_b1"]:
+            compact_detail["serving_b1_ddim8_speedup_paired"] = \
+                d["serving_b1"]["ddim8_speedup_paired"]
+    tr = d.get("train_regimes")
+    if isinstance(tr, dict):
+        compact_detail["train_mfu_analytic"] = {
+            k: v.get("mfu_analytic") for k, v in tr.items()
+            if isinstance(v, dict)}
+        for k in ("tome_train_speedup_vs_vanilla",
+                  "prestack_train_speedup_vs_vanilla"):
+            if k in tr:
+                compact_detail[k] = tr[k]
     deep = d.get("deep_stack_tome_224tok_12blk")
     if isinstance(deep, dict):
         compact_detail["deep_tome"] = {
@@ -466,7 +481,13 @@ def bench_serving_b1(model_vars, peak):
     loop = build_loop(serve_step(model, "predict_diffusion_action_with_text"))
     sec = sec_per_call(loop, (variables, text_emb, images, key),
                        "serving_b1_cached_text")
-    out = {"p50_ms": round(sec * 1e3, 3), "batch": 1, "cached_text": True}
+    # The ABSOLUTE p50 comes from the slope protocol and carries the
+    # tunnel's cross-session drift (BASELINE.md round-6 caveat); every
+    # RATIO below flows through paired-ABBA, the only b1 comparison
+    # protocol of record (VERDICT r4 item 4 — single-arm b1 ordering
+    # swings ~2x between adjacent arms in one session).
+    out = {"p50_ms": round(sec * 1e3, 3), "batch": 1, "cached_text": True,
+           "protocol": "absolute=slope; ratios=paired-ABBA"}
     single = jax.jit(
         lambda v, te, im, k: model.apply(
             v, te, im, rngs={"diffusion": k},
@@ -483,16 +504,23 @@ def bench_serving_b1(model_vars, peak):
     # DDIM-8 arm: same checkpoint, 8-step deterministic sampler
     # (heads/diffusion.py:ddim_schedule) — the opt-in low-latency decode
     cfg = model.config
-    ddim_model = type(model)(cfg.replace(heads=cfg.heads.replace(
+    ddim_model = model.clone(config=cfg.replace(heads=cfg.heads.replace(
         diffusion=cfg.heads.diffusion.replace(ddim_steps=8))))
     loop8 = build_loop(
         serve_step(ddim_model, "predict_diffusion_action_with_text"))
     sec8 = sec_per_call(loop8, (variables, text_emb, images, key),
                         "serving_b1_cached_text_ddim8")
     out["ddim8_p50_ms"] = round(sec8 * 1e3, 3)
-    out["ddim8_speedup"] = round(sec / sec8, 3)
+    ratio, blocks = paired_ab(loop, (variables, text_emb, images, key),
+                              loop8, (variables, text_emb, images, key),
+                              label="b1_ddim8_vs_ddpm32")
+    if ratio is not None:
+        out["ddim8_speedup_paired"] = round(1.0 / ratio, 3)
+        out["ddim8_paired_blocks"] = [round(r, 3) for r in blocks]
+        spread = (max(blocks) - min(blocks)) / ratio if blocks else None
+        out["ddim8_paired_block_spread"] = round(spread, 3)
     log(f"[bench] serving_b1 ddim8: p50 {sec8*1e3:.2f} ms "
-        f"({out['ddim8_speedup']}x)")
+        f"(paired speedup {out.get('ddim8_speedup_paired', '?')}x)")
     return out
 
 
@@ -574,16 +602,30 @@ def bench_int8_text(model_vars, images_stack, text, peak, bf16_entry):
         # kernels fetched int8, bf16 compute, no activation-quant error
         s_w8 = sec_per_call(build_loop(tower_step_q("w8")),
                             (qp, t_b), f"text_tower_w8_b{bsz}")
-        sweep[f"b{bsz}"] = {
+        entry = {
             "bf16_ms": round(s_bf * 1e3, 3),
             "int8_ms": round(s_i8 * 1e3, 3),
-            "int8_speedup": round(s_bf / s_i8, 3),
             "w8_ms": round(s_w8 * 1e3, 3),
-            "w8_speedup": round(s_bf / s_w8, 3),
         }
+        if bsz == 1:
+            # sub-2x b1 ratios are only resolvable paired (VERDICT r4
+            # item 4): ABBA-blocked two-point slopes, drift cancels
+            for mode, args_q in (("int8", (qp, t_b)), ("w8", (qp, t_b))):
+                r, blocks = paired_ab(
+                    build_loop(tower_step_bf16), (variables, t_b),
+                    build_loop(tower_step_q(mode)), args_q,
+                    label=f"text_tower_{mode}_b1")
+                if r is not None:
+                    entry[f"{mode}_speedup"] = round(1.0 / r, 3)
+                    entry[f"{mode}_paired_blocks"] = [
+                        round(x, 3) for x in blocks]
+        else:
+            entry["int8_speedup"] = round(s_bf / s_i8, 3)
+            entry["w8_speedup"] = round(s_bf / s_w8, 3)
+        sweep[f"b{bsz}"] = entry
         log(f"[bench] text tower b={bsz}: bf16 {s_bf*1e3:.3f} ms, "
-            f"int8 {s_i8*1e3:.3f} ms ({s_bf/s_i8:.2f}x), "
-            f"w8 {s_w8*1e3:.3f} ms ({s_bf/s_w8:.2f}x)")
+            f"int8 {s_i8*1e3:.3f} ms ({entry.get('int8_speedup', '?')}x), "
+            f"w8 {s_w8*1e3:.3f} ms ({entry.get('w8_speedup', '?')}x)")
     out["tower_only_sweep"] = sweep
     return out
 
@@ -828,6 +870,186 @@ def bench_train(cfg, images_stack, text, peak):
         }
         log(f"[bench] train pool_vjp=pallas: {sec_p*1e3:.1f} ms/step "
             f"({sec/sec_p:.2f}x vs select_and_scatter)")
+    return out
+
+
+def analytic_fwd_flops(cfg, batch):
+    """Dense-matmul forward FLOPs of backbone stack + T5 tower + diffusion
+    head, computed ANALYTICALLY (matmul (m,k)x(k,n) = 2mkn).
+
+    Why not XLA's count: ``nn.scan`` bodies are costed ONCE by
+    cost_analysis, so any multi-block scanned stack (octo_deep, the T5
+    tower) is undercounted by ~num_blocks x — the reason no deep-regime
+    train MFU was ever recorded (VERDICT r4 item 5).  Ignored terms (LN,
+    softmax, biases, pos-embeds, pooling) are <3% of the matmul total at
+    these shapes.  Returns (stack, t5, head) fwd FLOPs per call."""
+    from multi_modal_transformers_tokenmerge_tpu.sequence.layout import (
+        SequenceLayout)
+
+    layout = SequenceLayout.from_strings(cfg.input_sequence,
+                                         cfg.compression_sequence)
+    t = cfg.transformer
+    e, m = cfg.token_embedding_dim, t.mlp_dim
+
+    def block(s, e, m, inner=None):
+        inner = e if inner is None else inner
+        # qkv+o projections, logits + attn@V, two MLP matmuls
+        return (8 * s * e * inner + 4 * s * s * inner + 4 * s * e * m)
+
+    off = 1 if t.prestack_merge else 0
+    if t.compression_mode != "none" and layout.compressible:
+        k = t.tome_merge_every
+        if k <= 1:
+            seqs = [layout.tokens_at_layer(layer + off)
+                    for layer in range(t.num_blocks)]
+        else:
+            seqs, layer = [], 0
+            for stage in range(-(-t.num_blocks // k)):
+                blocks_here = min(k, t.num_blocks - layer)
+                seqs += [layout.tokens_at_layer(stage + off)] * blocks_here
+                layer += blocks_here
+    else:
+        seqs = [layout.total_tokens] * t.num_blocks
+    stack = batch * sum(block(s, e, m) for s in seqs)
+
+    t5 = 0
+    tc = cfg.text
+    if tc.kind == "t5":
+        inner = tc.t5_num_heads * tc.t5_d_kv
+        t5 = batch * tc.t5_num_layers * block(
+            tc.max_length, tc.embedding_dim, tc.t5_d_ff, inner)
+
+    head = 0
+    hc = getattr(cfg.heads, "diffusion", None)
+    if hc is not None:
+        # one denoiser apply per train step: three input projections +
+        # output + the Fourier-MLP time encoder
+        head = 2 * batch * hc.mlp_dim * (
+            hc.action_space_dim * 2 + hc.time_dim + e
+            + hc.time_dim // 2 + hc.time_dim)
+    return stack, t5, head
+
+
+def bench_train_regimes(peak):
+    """Per-regime train table (VERDICT r4 item 5): ms/step, examples/s,
+    and ANALYTIC MFU for the regimes that matter — octo_deep ToMe (with
+    and without the pre-stack merge), octo_deep vanilla, and multicam —
+    alongside the XLA-counted octo_base row bench_train records.
+
+    MFU accounting: train = 3x (stack + embedder + head) fwd FLOPs
+    (backward ~ 2x forward) + 1x T5 fwd (the tower is FROZEN behind
+    stop_gradient — no backward), embedder fwd from XLA's count (it is
+    Python-looped, not scanned, so the count is exact), stack/T5/head
+    from analytic_fwd_flops."""
+    import optax
+    from multi_modal_transformers_tokenmerge_tpu.models.octo import Octo
+    from multi_modal_transformers_tokenmerge_tpu.models.presets import (
+        octo_deep, octo_multicam)
+    from multi_modal_transformers_tokenmerge_tpu.train.optim import (
+        mask_frozen)
+    from multi_modal_transformers_tokenmerge_tpu.train.state import (
+        create_train_state)
+    from multi_modal_transformers_tokenmerge_tpu.train.steps import (
+        make_train_step)
+
+    deep = octo_deep(dtype="bfloat16")
+    regimes = {
+        "octo_deep_tome": deep,
+        "octo_deep_tome_prestack": deep.replace(
+            transformer=deep.transformer.replace(prestack_merge=True)),
+        "octo_deep_vanilla": deep.replace(
+            compression_sequence=None,
+            transformer=deep.transformer.replace(compression_mode="none")),
+        "octo_multicam": octo_multicam(dtype="bfloat16"),
+    }
+    rng = np.random.default_rng(0)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    out = {}
+    for name, cfg in regimes.items():
+        frames = 4 if name == "octo_multicam" else 2
+        images_stack = jnp.asarray(
+            rng.integers(0, 256, (N_INPUTS, BATCH, frames, 280, 280, 3)),
+            dtype=jnp.float32)
+        text = jnp.ones((BATCH, 16), dtype=jnp.int32)
+        model = Octo(cfg)
+        variables = jax.jit(model.init)(
+            {"params": keys[0], "patch_encoding": keys[1],
+             "dropout": keys[2], "diffusion": keys[3]},
+            text, images_stack[0])
+        tx = mask_frozen(optax.adamw(1e-4), variables["params"])
+        state0 = create_train_state(
+            model, variables, tx,
+            rngs={"dropout": keys[2], "patch_encoding": keys[1],
+                  "diffusion": keys[3]})
+        actions = jnp.full((BATCH, 8), 0.3, dtype=jnp.float32)
+        raw_step = make_train_step("diffusion", donate=False, jit=False)
+
+        @jax.jit
+        def loop(k, state0, text_arg, images_stack, actions,
+                 raw_step=raw_step):
+            def body(i, carry):
+                state, acc = carry
+                img = jax.lax.dynamic_index_in_dim(
+                    images_stack, i % images_stack.shape[0], keepdims=False)
+                state, loss = raw_step(state, text_arg, img, actions)
+                return state, acc + loss
+            _, acc = jax.lax.fori_loop(0, k, body,
+                                       (state0, jnp.float32(0.0)),
+                                       unroll=False)
+            return acc
+
+        def run(k):
+            t0 = time.perf_counter()
+            v = float(loop(jnp.int32(k), state0, text, images_stack,
+                           actions))
+            dt = time.perf_counter() - t0
+            assert np.isfinite(v), v
+            return dt
+        run(2)
+        k1, k2 = 4, 24
+        t1 = float(np.median([run(k1) for _ in range(REPS)]))
+        t2 = float(np.median([run(k2) for _ in range(REPS)]))
+        sec = (t2 - t1) / (k2 - k1)
+        if sec <= 0:
+            sec = t2 / k2
+
+        # embedder fwd FLOPs: XLA's count on the (non-scanned) tower
+        emb_compiled = jax.jit(
+            lambda v, im, model=model: model.apply(
+                v, im, train=True,
+                method=lambda mm, x, train: mm.image_encoder(x, train))
+        ).lower(variables, images_stack[0]).compile()
+        emb_flops = flops_of(emb_compiled) or 0.0
+        stack_f, t5_f, head_f = analytic_fwd_flops(cfg, BATCH)
+        train_flops = 3.0 * (stack_f + emb_flops + head_f) + t5_f
+        entry = {
+            "ms_per_step": round(sec * 1e3, 3),
+            "steps_per_sec": round(1.0 / sec, 2),
+            "examples_per_sec": round(BATCH / sec, 1),
+            "tflops_analytic": round(train_flops / sec / 1e12, 2),
+            "flops_breakdown_gflop": {
+                "stack_fwd": round(stack_f / 1e9, 1),
+                "embedder_fwd_xla": round(emb_flops / 1e9, 1),
+                "t5_fwd": round(t5_f / 1e9, 1),
+                "head_fwd": round(head_f / 1e9, 2)},
+        }
+        if peak:
+            mfu = train_flops / sec / peak
+            entry["mfu_analytic"] = round(mfu, 4)
+            if mfu > 1.0:
+                log(f"[bench] FATAL: {name} train exceeds peak FLOP/s")
+                raise SystemExit(1)
+        out[name] = entry
+        log(f"[bench] train[{name}]: {1.0/sec:.1f} steps/s "
+            f"({sec*1e3:.1f} ms/step, MFU {entry.get('mfu_analytic', '?')})")
+        del state0, variables
+    if ("octo_deep_tome" in out and "octo_deep_vanilla" in out):
+        out["tome_train_speedup_vs_vanilla"] = round(
+            out["octo_deep_vanilla"]["ms_per_step"]
+            / out["octo_deep_tome"]["ms_per_step"], 3)
+        out["prestack_train_speedup_vs_vanilla"] = round(
+            out["octo_deep_vanilla"]["ms_per_step"]
+            / out["octo_deep_tome_prestack"]["ms_per_step"], 3)
     return out
 
 
@@ -1154,9 +1376,15 @@ def main_deep_model():
     vanilla = tome.replace(
         compression_sequence=None,
         transformer=tome.transformer.replace(compression_mode="none"))
+    # round 5: the tokenizer-boundary merge (VERDICT r4 item 2) — one
+    # extra event before stage 0, so the 200-token image block shrinks
+    # BEFORE the first stage instead of only between stages
+    prestack = tome.replace(
+        transformer=tome.transformer.replace(prestack_merge=True))
 
     results = {}
-    for name, cfg in (("vanilla", vanilla), ("tome", tome)):
+    for name, cfg in (("vanilla", vanilla), ("tome", tome),
+                      ("tome_prestack", prestack)):
         model = Octo(cfg)
         variables = jax.jit(model.init)(
             {"params": keys[0], "patch_encoding": keys[1],
@@ -1179,13 +1407,19 @@ def main_deep_model():
         log(f"[bench] octo_deep_{name}: {BATCH/sec:.0f} inf/s "
             f"({sec*1e3:.2f} ms/call, MFU {results[name].get('mfu', '?')})")
 
+    best = ("tome_prestack"
+            if results["tome_prestack"]["ms_per_call"]
+            <= results["tome"]["ms_per_call"] else "tome")
     payload = {
         "metric": "octo_deep_model_inferences_per_sec_per_chip",
-        "value": results["tome"]["inf_per_sec"],
-        "unit": "inferences/sec/chip (ToMe)",
+        "value": results[best]["inf_per_sec"],
+        "unit": f"inferences/sec/chip (ToMe, {best})",
         "vs_baseline": round(results["vanilla"]["ms_per_call"]
-                             / results["tome"]["ms_per_call"], 3),
+                             / results[best]["ms_per_call"], 3),
         "detail": {"batch": BATCH, "device": kind, "variants": results,
+                   "prestack_speedup_vs_vanilla": round(
+                       results["vanilla"]["ms_per_call"]
+                       / results["tome_prestack"]["ms_per_call"], 3),
                    "flops_caveat": (
                        "gflops/mfu are XLA cost-analysis values, which "
                        "count an nn.scan body ONCE — the vanilla variant "
@@ -1196,7 +1430,7 @@ def main_deep_model():
     rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "benchmarks", "recorded")
     try:
-        with open(os.path.join(rec, "octo_deep_model_r4.json"), "w") as f:
+        with open(os.path.join(rec, "octo_deep_model_r5.json"), "w") as f:
             f.write(json.dumps(payload) + "\n")
     except OSError as e:
         log(f"[bench] could not record octo_deep artifact: {e}")

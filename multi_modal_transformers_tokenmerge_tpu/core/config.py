@@ -202,6 +202,15 @@ class TransformerConfig(_Replaceable):
     # compilation units instead of L, with the compression string's rate
     # applied per EVENT (hidden-state cosine metric at event boundaries)
     tome_merge_every: int = 1
+    # apply ONE extra compression event at the tokenizer boundary (before
+    # block/stage 0), using the hidden-state metric over the pos-embedded
+    # inputs.  Sheds the same per-set rate as every other event (the
+    # compression DSL string), so the longest sequence — the uncompressed
+    # image tower output — never reaches the stack at full length.  This
+    # closes the dilution the whole-model octo_deep number showed vs the
+    # stack-only number (VERDICT r4 item 2: nothing merged where the
+    # sequence was longest).
+    prestack_merge: bool = False
     # use size-weighted (proportional) attention for merged tokens
     proportional_attention: bool = False
     remat: bool = False

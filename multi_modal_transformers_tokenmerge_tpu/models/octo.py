@@ -74,6 +74,12 @@ class Octo(nn.Module):
 
         use_compression = (self.layout.compressible
                            and cfg.transformer.compression_mode != "none")
+        if cfg.transformer.prestack_merge and not use_compression:
+            raise ValueError(
+                "transformer.prestack_merge requires an active compression "
+                "config (a compression_sequence with nonzero rates AND "
+                "compression_mode 'merge'/'prune'); with compression off "
+                "the flag would be silently inert")
         if use_compression:
             self.transformer = CompressedTransformerStack(
                 cfg.transformer, layout=self.layout, dtype=dtype,

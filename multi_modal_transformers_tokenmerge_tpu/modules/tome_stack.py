@@ -198,6 +198,11 @@ class CompressedTransformerStack(nn.Module):
     (between consecutive stages), so a 12-block stack with ``Image{1}``
     and k=4 runs 3 stages and sheds 1 image token per set at each of the
     2 boundaries between them.
+
+    ``prestack_merge``: one extra event at the tokenizer boundary (before
+    block/stage 0), hidden-state metric over the pos-embedded inputs —
+    the 12-block ``Image{1}`` k=4 example then sheds at 3 points and
+    stage 0 already runs on the shrunk sequence.
     """
 
     cfg: TransformerConfig
@@ -219,8 +224,23 @@ class CompressedTransformerStack(nn.Module):
                     f"'prune' (order-preserving per-set top-k) for causal "
                     f"sets, or zero their rate in the compression string.")
 
+        if self.cfg.compression_mode not in ("merge", "prune"):
+            raise ValueError(
+                f"unknown compression mode {self.cfg.compression_mode!r}")
         x = AddPositionEmbedding(name="posembed_input")(x)
         size = jnp.ones_like(x[..., :1])
+        # tokenizer-boundary compression (cfg.prestack_merge): one event
+        # BEFORE block/stage 0 over the pos-embedded inputs, so the
+        # longest (uncompressed-image) sequence never reaches the stack.
+        # Every later block/stage then runs one event further down the
+        # DSL's schedule (the `off` index shift below).
+        off = 1 if self.cfg.prestack_merge else 0
+        if off:
+            if self.cfg.compression_mode == "merge":
+                x, size = _merge_sets(x, size, x, self.layout, 0)
+            else:
+                importance = jnp.linalg.norm(x.astype(jnp.float32), axis=-1)
+                x, size = _prune_sets(x, size, importance, self.layout, 0)
         k = self.cfg.tome_merge_every
         if k <= 1:
             if self.cfg.attention_impl == "flash":
@@ -236,14 +256,11 @@ class CompressedTransformerStack(nn.Module):
                                      static_argnums=(3,))
             for layer in range(self.cfg.num_blocks):
                 x, size = block_cls(
-                    self.cfg, self.layout, layer, dtype=self.dtype,
+                    self.cfg, self.layout, layer + off, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"block_{layer}")(
                         x, size, deterministic)
             return self._maybe_final_norm(x)
 
-        if self.cfg.compression_mode not in ("merge", "prune"):
-            raise ValueError(
-                f"unknown compression mode {self.cfg.compression_mode!r}")
         if self.cfg.proportional_attention:
             raise ValueError(
                 "proportional_attention requires per-layer compressed "
@@ -256,12 +273,12 @@ class CompressedTransformerStack(nn.Module):
         layer = 0
         for stage in range(num_stages):
             blocks_here = min(k, self.cfg.num_blocks - layer)
-            mask_np = self.layout.attention_mask(stage)
+            mask_np = self.layout.attention_mask(stage + off)
             # each stage's mask is a static numpy constant, so the stage can
             # run the Pallas flash kernel when configured — ToMe merging
             # between flash-attention blocks, per-stage shrinking layouts
             attention_fn = select_attention_fn(
-                self.cfg, mask_np, self.layout.tokens_at_layer(stage))
+                self.cfg, mask_np, self.layout.tokens_at_layer(stage + off))
             block_cls = EncoderBlock
             if self.cfg.remat:
                 # honor cfg.remat here too — without this the staged path
@@ -287,7 +304,8 @@ class CompressedTransformerStack(nn.Module):
             if stage < num_stages - 1:
                 if self.cfg.compression_mode == "merge":
                     # standalone merge event: hidden-state cosine metric
-                    x, size = _merge_sets(x, size, x, self.layout, stage)
+                    x, size = _merge_sets(x, size, x, self.layout,
+                                          stage + off)
                 else:
                     # standalone prune event: hidden-state L2-norm
                     # importance (attention weights aren't exposed by the
@@ -295,7 +313,7 @@ class CompressedTransformerStack(nn.Module):
                     importance = jnp.linalg.norm(
                         x.astype(jnp.float32), axis=-1)
                     x, size = _prune_sets(x, size, importance, self.layout,
-                                          stage)
+                                          stage + off)
         return self._maybe_final_norm(x)
 
     def _maybe_final_norm(self, x):
@@ -309,7 +327,8 @@ class CompressedTransformerStack(nn.Module):
 
     def final_layer(self) -> int:
         """Stage/layer index of the output layout (for readout slicing)."""
+        off = 1 if self.cfg.prestack_merge else 0
         k = self.cfg.tome_merge_every
         if k <= 1:
-            return self.cfg.num_blocks
-        return -(-self.cfg.num_blocks // k) - 1
+            return self.cfg.num_blocks + off
+        return -(-self.cfg.num_blocks // k) - 1 + off
