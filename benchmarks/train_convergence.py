@@ -132,17 +132,24 @@ def main_deep_tome():
         dtype=jnp.float32)
 
     mode = os.environ.get("CONV_COMPRESSION", "merge")  # 'merge' | 'prune'
+    prestack = os.environ.get("CONV_PRESTACK") == "1"
     tome_cfg = octo_deep(dtype="bfloat16")
     if mode != "merge":
         tome_cfg = tome_cfg.replace(
             transformer=tome_cfg.transformer.replace(compression_mode=mode))
+    if prestack:
+        # tokenizer-boundary merge (round 5): convergence-parity evidence
+        # for the prestack_merge flagship variant
+        tome_cfg = tome_cfg.replace(
+            transformer=tome_cfg.transformer.replace(prestack_merge=True))
     vanilla_cfg = tome_cfg.replace(
         compression_sequence=None,
-        transformer=tome_cfg.transformer.replace(compression_mode="none"))
+        transformer=tome_cfg.transformer.replace(compression_mode="none",
+                                                 prestack_merge=False))
 
     detail = {"batch": BATCH, "pool_examples": POOL * BATCH,
               "preset": "octo_deep", "steps": STEPS,
-              "compression_mode": mode,
+              "compression_mode": mode, "prestack_merge": prestack,
               "device": jax.devices()[0].device_kind}
     detail["tome"] = run_head("continuous", pool_images, text,
                               actions_pool, cfg=tome_cfg)
@@ -181,6 +188,8 @@ def main_deep_tome():
            "detail": detail}
     line = json.dumps(out)
     suffix = "" if mode == "merge" else f"_{mode}"
+    if prestack:
+        suffix += "_prestack"
     seed = os.environ.get("CONV_SEED", "11")
     if seed != "11":
         suffix += f"_seed{seed}"
