@@ -66,8 +66,8 @@ ARMS = os.environ.get("TASK_ARMS", "vanilla,tome,prune").split(",")
 # summary reads the three canonical arms)
 EVAL_ARMS = [tuple(a.split("/")) for a in os.environ.get(
     "TASK_EVAL_ARMS", "ddpm32/bf16,ddim8/bf16,ddpm32/w8").split(",")]
-STEPS_BASE = int(os.environ.get("TASK_STEPS_BASE", "1500"))
-STEPS_DEEP = int(os.environ.get("TASK_STEPS_DEEP", "700"))
+STEPS_BASE = int(os.environ.get("TASK_STEPS_BASE", "6000"))
+STEPS_DEEP = int(os.environ.get("TASK_STEPS_DEEP", "2500"))
 N_EPISODES = int(os.environ.get("TASK_EPISODES", "300"))
 EVAL_EPISODES = int(os.environ.get("TASK_EVAL_EPISODES", "64"))
 BATCH = int(os.environ.get("TASK_BATCH", "32"))
@@ -101,9 +101,19 @@ def build_dataset(task: ReachTask, n_episodes: int, seed: int):
             np.concatenate(texts).astype(np.int32))
 
 
+def _task_head(cfg):
+    """Task configuration: the reach task's actions live in [-1, 1], so
+    the diffusion head's clip bound is the action bound (a partially
+    trained denoiser otherwise drifts to the +-5 walls through the
+    32-step reverse chain — measured: train-state decode MAE 3.15 at
+    clip 5 vs 0.48 at clip 1 on the micro probe)."""
+    return cfg.replace(heads=cfg.heads.replace(
+        diffusion=cfg.heads.diffusion.replace(clip_value=1.0)))
+
+
 def make_config(model_name: str, arm: str):
     if model_name == "base":
-        cfg = load_config("octo_base_tome", ["dtype=bfloat16"])
+        cfg = _task_head(load_config("octo_base_tome", ["dtype=bfloat16"]))
         if arm == "vanilla":
             cfg = cfg.replace(
                 compression_sequence=None,
@@ -116,7 +126,7 @@ def make_config(model_name: str, arm: str):
             raise ValueError(arm)
         return cfg, STEPS_BASE
     if model_name == "deep":
-        cfg = octo_deep(dtype="bfloat16")
+        cfg = _task_head(octo_deep(dtype="bfloat16"))
         if arm == "vanilla":
             cfg = cfg.replace(
                 compression_sequence=None,
@@ -205,9 +215,13 @@ def train_arm(cfg, steps, seed, device_data):
     return model, trained, curve
 
 
-def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed):
+def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
+             diag=None):
     """Closed-loop success rate through PolicyEngine (fixed eval scenes:
-    same eval_seed -> same episodes across every arm)."""
+    same eval_seed -> same episodes across every arm).  ``diag`` =
+    (obs, text, expert_actions) training windows for an open-loop
+    decode check through the same engine (separates 'didn't learn the
+    mapping' from 'closed-loop drift')."""
     kw = {}
     if towers == "w8":
         kw = {"image_tower": "w8", "text_tower": "w8"}
@@ -220,8 +234,19 @@ def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed):
         return np.asarray(jax.device_get(
             eng(jnp.asarray(obs), text_tokens=jnp.asarray(text))))
 
-    return task.rollout(policy, np.random.default_rng(9090 + eval_seed),
-                        EVAL_EPISODES, frames=FRAMES)
+    out = task.rollout(policy, np.random.default_rng(9090 + eval_seed),
+                       EVAL_EPISODES, frames=FRAMES)
+    if diag is not None:
+        obs_d, text_d, act_d = diag
+        pred = policy(obs_d, text_d)
+        out["openloop_mae_xy"] = round(
+            float(np.abs(pred[:, :2] - act_d[:, :2]).mean()), 4)
+        num = np.sum(pred[:, :2] * act_d[:, :2], axis=1)
+        den = (np.linalg.norm(pred[:, :2], axis=1)
+               * np.linalg.norm(act_d[:, :2], axis=1) + 1e-8)
+        mask = np.linalg.norm(act_d[:, :2], axis=1) > 0.1
+        out["openloop_cos"] = round(float((num / den)[mask].mean()), 4)
+    return out
 
 
 def main():
@@ -233,6 +258,11 @@ def main():
         f"{window.shape[0]} windows")
     device_data = (jnp.asarray(frames), jnp.asarray(window),
                    jnp.asarray(actions), jnp.asarray(text))
+    # open-loop diagnostic batch: EVAL_EPISODES moving-state windows
+    moving = np.where(np.linalg.norm(actions[:, :2], axis=1)
+                      > 0.1)[0][:EVAL_EPISODES]
+    diag = (frames[window[moving]].astype(np.float32),
+            text[moving], actions[moving])
 
     # expert reference: the closed-loop ceiling on the same eval scenes
     results = {"expert": expert_reference(task)}
@@ -274,12 +304,14 @@ def main():
                     t1 = time.time()
                     r = eval_arm(task, model, trained,
                                  ddim_steps=ddim, towers=towers,
-                                 eval_seed=seed)
+                                 eval_seed=seed, diag=diag)
                     r["eval_wall_s"] = round(time.time() - t1, 1)
                     entry[f"{sampler}_{towers}"] = r
                     log(f"[task] {name} {sampler}/{towers}: "
                         f"success {r['success_rate']:.3f} "
-                        f"(dist {r['mean_final_distance']:.3f})")
+                        f"(dist {r['mean_final_distance']:.3f}, "
+                        f"openloop mae {r.get('openloop_mae_xy')} "
+                        f"cos {r.get('openloop_cos')})")
                 out[name] = entry
                 with open(partial_path, "a") as f:
                     f.write(json.dumps({"name": name, "entry": entry})

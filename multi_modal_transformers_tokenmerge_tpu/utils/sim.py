@@ -73,12 +73,18 @@ class ReachTask:
     (index into blocks).  All geometry lives in [-1, 1]^2.
     """
 
+    # geometry is sized against the flagship's 56px patches at 280px
+    # (one patch = 0.4 workspace units): blocks fill ~a patch, the agent
+    # disc spans ~28px, and the success radius is ~patch-scale — the
+    # precision a patch-pooling tokenizer with position tokens can
+    # actually deliver (finer radii demand sub-patch localization the
+    # architecture does not expose)
     image_size: int = 280
     num_blocks: int = 3
-    block_half: float = 0.15      # block half-size in workspace units
-    agent_radius: float = 0.07
+    block_half: float = 0.18      # block half-size in workspace units
+    agent_radius: float = 0.10
     step_scale: float = 0.25      # env units moved by a max-magnitude action
-    success_radius: float = 0.18
+    success_radius: float = 0.22
     max_steps: int = 16
     episode_len: int = 12         # expert episode length (fixed shapes)
     action_dim: int = 8           # presets' action_space_dim; dims 2+ unused
