@@ -66,6 +66,13 @@ ARMS = os.environ.get("TASK_ARMS", "vanilla,tome,prune").split(",")
 # summary reads the three canonical arms)
 EVAL_ARMS = [tuple(a.split("/")) for a in os.environ.get(
     "TASK_EVAL_ARMS", "ddpm32/bf16,ddim8/bf16,ddpm32/w8").split(",")]
+# TASK_HEAD=continuous runs the same ladder with the regression head —
+# the learnability control separating perception failures from
+# diffusion-conditioning failures
+HEAD = os.environ.get("TASK_HEAD", "diffusion")
+if HEAD == "continuous" and "TASK_EVAL_ARMS" not in os.environ:
+    EVAL_ARMS = [("cont", "bf16"), ("cont", "w8")]
+PEAK_LR = float(os.environ.get("TASK_LR", "3e-4"))
 STEPS_BASE = int(os.environ.get("TASK_STEPS_BASE", "6000"))
 STEPS_DEEP = int(os.environ.get("TASK_STEPS_DEEP", "2500"))
 N_EPISODES = int(os.environ.get("TASK_EPISODES", "300"))
@@ -155,14 +162,14 @@ def train_arm(cfg, steps, seed, device_data):
         {"params": keys[0], "patch_encoding": keys[1],
          "dropout": keys[2], "diffusion": keys[3]},
         init_text, init_imgs)
-    tx = make_optimizer(peak_lr=3e-4, warmup_steps=100, total_steps=steps,
-                        params=variables["params"],
+    tx = make_optimizer(peak_lr=PEAK_LR, warmup_steps=100,
+                        total_steps=steps, params=variables["params"],
                         frozen_prefixes=("text_encoder",))
     state = create_train_state(
         model, variables, tx,
         rngs={"dropout": keys[2], "patch_encoding": keys[1],
               "diffusion": keys[3]})
-    raw_step = make_train_step("diffusion", donate=False, jit=False)
+    raw_step = make_train_step(HEAD, donate=False, jit=False)
 
     # precomputed per-step record selections (epoch-shuffled, host-side).
     # FIXED capacity so the sel arg shape — and therefore the compiled
@@ -225,14 +232,17 @@ def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
     kw = {}
     if towers == "w8":
         kw = {"image_tower": "w8", "text_tower": "w8"}
-    eng = PolicyEngine(model, variables, head="diffusion",
+    eng = PolicyEngine(model, variables, head=HEAD,
                        batch_size=EVAL_EPISODES,
                        rng=jax.random.PRNGKey(7), ddim_steps=ddim_steps,
                        **kw)
 
     def policy(obs, text):
-        return np.asarray(jax.device_get(
+        out = np.asarray(jax.device_get(
             eng(jnp.asarray(obs), text_tokens=jnp.asarray(text))))
+        # continuous head returns (B, 1, A) (reference output shape);
+        # rollout consumes (B, A)
+        return out.reshape(out.shape[0], -1)[:, -out.shape[-1]:]
 
     out = task.rollout(policy, np.random.default_rng(9090 + eval_seed),
                        EVAL_EPISODES, frames=FRAMES)
@@ -286,6 +296,8 @@ def main():
         for arm in ARMS:
             for seed in SEEDS:
                 name = f"{model_name}_{arm}_s{seed}"
+                if HEAD != "diffusion":
+                    name = f"{HEAD}_{name}"
                 if name in out:
                     continue
                 cfg, steps = make_config(model_name, arm)
@@ -299,12 +311,19 @@ def main():
                          "train_steps": steps,
                          "steps_per_sec_wall": round(steps / train_wall, 2)}
                 for sampler, towers in EVAL_ARMS:
-                    ddim = None if sampler == "ddpm32" else int(
-                        sampler.replace("ddim", ""))
+                    ddim = (None if not sampler.startswith("ddim")
+                            else int(sampler.replace("ddim", "")))
                     t1 = time.time()
-                    r = eval_arm(task, model, trained,
-                                 ddim_steps=ddim, towers=towers,
-                                 eval_seed=seed, diag=diag)
+                    try:
+                        r = eval_arm(task, model, trained,
+                                     ddim_steps=ddim, towers=towers,
+                                     eval_seed=seed, diag=diag)
+                    except Exception as e:  # record, don't kill the run
+                        log(f"[task] {name} {sampler}/{towers} FAILED: "
+                            f"{type(e).__name__}: {str(e)[:200]}")
+                        entry[f"{sampler}_{towers}"] = {
+                            "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                        continue
                     r["eval_wall_s"] = round(time.time() - t1, 1)
                     entry[f"{sampler}_{towers}"] = r
                     log(f"[task] {name} {sampler}/{towers}: "
@@ -320,15 +339,21 @@ def main():
 
     # headline: flagship tome arm, ddpm32/bf16, mean over seeds
     def seed_mean(model_name, arm, key):
-        vals = [out[f"{model_name}_{arm}_s{s}"][key]["success_rate"]
-                for s in SEEDS
-                if f"{model_name}_{arm}_s{s}" in out]
+        vals = []
+        for sd in SEEDS:
+            nm = f"{model_name}_{arm}_s{sd}"
+            if HEAD != "diffusion":
+                nm = f"{HEAD}_{nm}"
+            e = out.get(nm, {}).get(key)
+            if isinstance(e, dict) and "success_rate" in e:
+                vals.append(e["success_rate"])
         return round(float(np.mean(vals)), 3) if vals else None
 
     summary = {}
+    arm_keys = [f"{s_}_{t}" for s_, t in EVAL_ARMS]
     for m in MODELS:
         for arm in ARMS:
-            for k in ("ddpm32_bf16", "ddim8_bf16", "ddpm32_w8"):
+            for k in arm_keys:
                 v = seed_mean(m, arm, k)
                 if v is not None:
                     summary[f"{m}_{arm}_{k}"] = v
