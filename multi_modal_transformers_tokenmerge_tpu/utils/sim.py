@@ -215,7 +215,17 @@ class ReachTask:
                           ) -> Iterator[Dict[str, np.ndarray]]:
         """Expert episodes in :func:`utils.episodes.write_episodes` format:
         ``images (T, H, W, 3) uint8``, ``actions (T, A) float32`` (the
-        action TAKEN at each frame), ``text_ids (L,)``."""
+        action TAKEN at each frame), ``text_ids (L,)``.
+
+        Episodes END at success (variable length <= episode_len): keeping
+        post-success frames would pair identical consecutive frames with
+        ZERO actions — and a 2-frame-history policy then reads the
+        identical frames of a ROLLOUT'S FIRST STEP as "stopped at
+        target", outputs ~0, and deadlocks (measured: open-loop direction
+        cosine 0.64 on moving states while closed-loop displacement was
+        ~0.1 total).  With the trim, identical-frame pairs occur only at
+        episode starts, labeled with full-speed expert actions — exactly
+        the rollout's t=0 situation."""
         for _ in range(n_episodes):
             state = self.reset(rng, 1)
             frames, actions = [], []
@@ -224,6 +234,8 @@ class ReachTask:
                 a = self.expert_action(state, rng=rng, noise=noise)
                 actions.append(a[0])
                 state = self.step(state, a)
+                if bool(self.succeeded(state)[0]):
+                    break
             yield {
                 "images": np.stack(frames),
                 "actions": np.stack(actions),

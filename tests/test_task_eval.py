@@ -131,7 +131,9 @@ def test_episodes_roundtrip_through_episode_file(tmp_path):
     path = str(tmp_path / "reach.rec")
     n = write_episodes(path, task.generate_episodes(
         np.random.default_rng(0), 8, text_length=4))
-    assert n == 8 * 6
+    # episodes trim at success: at most 6 steps each, at least 2 (starts
+    # are >= min_start_dist from the target)
+    assert 8 * 2 <= n <= 8 * 6
     s = EpisodeWindowSampler(path, batch_size=8, frames=2, shuffle_seed=0)
     batch = next(s)
     assert batch["images"].shape == (8, 2, 64, 64, 3)
