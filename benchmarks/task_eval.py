@@ -223,7 +223,7 @@ def train_arm(cfg, steps, seed, device_data):
 
 
 def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
-             diag=None):
+             diag=None, diag_holdout=None):
     """Closed-loop success rate through PolicyEngine (fixed eval scenes:
     same eval_seed -> same episodes across every arm).  ``diag`` =
     (obs, text, expert_actions) training windows for an open-loop
@@ -246,16 +246,25 @@ def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
 
     out = task.rollout(policy, np.random.default_rng(9090 + eval_seed),
                        EVAL_EPISODES, frames=FRAMES)
-    if diag is not None:
-        obs_d, text_d, act_d = diag
-        pred = policy(obs_d, text_d)
-        out["openloop_mae_xy"] = round(
-            float(np.abs(pred[:, :2] - act_d[:, :2]).mean()), 4)
+    def openloop(batch):
+        obs_d, text_d, act_d = batch
+        n = obs_d.shape[0]
+        if n < EVAL_EPISODES:  # engine is compiled at EVAL_EPISODES
+            pad = EVAL_EPISODES - n
+            obs_d = np.concatenate([obs_d, obs_d[:pad]])
+            text_d = np.concatenate([text_d, text_d[:pad]])
+        pred = policy(obs_d, text_d)[:n]
+        mae = float(np.abs(pred[:, :2] - act_d[:, :2]).mean())
         num = np.sum(pred[:, :2] * act_d[:, :2], axis=1)
         den = (np.linalg.norm(pred[:, :2], axis=1)
                * np.linalg.norm(act_d[:, :2], axis=1) + 1e-8)
         mask = np.linalg.norm(act_d[:, :2], axis=1) > 0.1
-        out["openloop_cos"] = round(float((num / den)[mask].mean()), 4)
+        return round(mae, 4), round(float((num / den)[mask].mean()), 4)
+
+    if diag is not None:
+        out["openloop_mae_xy"], out["openloop_cos"] = openloop(diag)
+    if diag_holdout is not None:
+        out["holdout_mae_xy"], out["holdout_cos"] = openloop(diag_holdout)
     return out
 
 
@@ -268,11 +277,18 @@ def main():
         f"{window.shape[0]} windows")
     device_data = (jnp.asarray(frames), jnp.asarray(window),
                    jnp.asarray(actions), jnp.asarray(text))
-    # open-loop diagnostic batch: EVAL_EPISODES moving-state windows
+    # open-loop diagnostic batches: TRAIN windows (memorization check)
+    # and HELD-OUT windows from fresh episodes (generalization check —
+    # the r5 probe measured train cos 0.99 with closed-loop failure:
+    # pure memorization; the holdout cosine is the signal that predicts
+    # closed-loop success)
     moving = np.where(np.linalg.norm(actions[:, :2], axis=1)
                       > 0.1)[0][:EVAL_EPISODES]
     diag = (frames[window[moving]].astype(np.float32),
             text[moving], actions[moving])
+    hf, hw, ha, ht = build_dataset(task, 16, seed=424242)
+    hsel = np.arange(min(EVAL_EPISODES, hw.shape[0]))
+    diag_holdout = (hf[hw[hsel]].astype(np.float32), ht[hsel], ha[hsel])
 
     # expert reference: the closed-loop ceiling on the same eval scenes
     results = {"expert": expert_reference(task)}
@@ -302,9 +318,44 @@ def main():
                     continue
                 cfg, steps = make_config(model_name, arm)
                 t0 = time.time()
-                log(f"[task] === training {name} ({steps} steps) ===")
-                model, trained, curve = train_arm(cfg, steps, seed,
-                                                  device_data)
+                # trained-params cache: protocol iterations re-evaluate
+                # without paying the training again (key includes steps
+                # and dataset size; cleared by deleting the directory)
+                pdir = os.path.join(ROOT, "benchmarks", ".task_params")
+                os.makedirs(pdir, exist_ok=True)
+                ppath = os.path.join(
+                    pdir, f"{HEAD}_{name}_{steps}_{N_EPISODES}.msgpack")
+                import flax.serialization as ser
+                if os.path.exists(ppath):
+                    log(f"[task] === loading cached params for {name} ===")
+                    model = Octo(cfg)
+                    with open(ppath, "rb") as f:
+                        blob = f.read()
+                    meta = json.loads(blob[:blob.index(b"\0")])
+                    params_blob = blob[blob.index(b"\0") + 1:]
+                    init = jax.eval_shape(
+                        lambda: jax.jit(model.init)(
+                            {"params": jax.random.PRNGKey(0),
+                             "patch_encoding": jax.random.PRNGKey(1),
+                             "dropout": jax.random.PRNGKey(2),
+                             "diffusion": jax.random.PRNGKey(3)},
+                            jnp.zeros((BATCH, cfg.text.max_length),
+                                      jnp.int32),
+                            jnp.zeros((BATCH, FRAMES,
+                                       *cfg.images.image_size),
+                                      jnp.float32)))
+                    trained = ser.from_bytes(
+                        jax.tree.map(lambda x: np.zeros(x.shape, x.dtype),
+                                     init), params_blob)
+                    curve = meta["curve"]
+                else:
+                    log(f"[task] === training {name} ({steps} steps) ===")
+                    model, trained, curve = train_arm(cfg, steps, seed,
+                                                      device_data)
+                    host = jax.tree.map(np.asarray, trained)
+                    with open(ppath, "wb") as f:
+                        f.write(json.dumps({"curve": curve}).encode()
+                                + b"\0" + ser.to_bytes(host))
                 train_wall = round(time.time() - t0, 1)
                 entry = {"train_loss_curve": curve,
                          "train_wall_s": train_wall,
@@ -317,7 +368,8 @@ def main():
                     try:
                         r = eval_arm(task, model, trained,
                                      ddim_steps=ddim, towers=towers,
-                                     eval_seed=seed, diag=diag)
+                                     eval_seed=seed, diag=diag,
+                                     diag_holdout=diag_holdout)
                     except Exception as e:  # record, don't kill the run
                         log(f"[task] {name} {sampler}/{towers} FAILED: "
                             f"{type(e).__name__}: {str(e)[:200]}")
@@ -329,8 +381,8 @@ def main():
                     log(f"[task] {name} {sampler}/{towers}: "
                         f"success {r['success_rate']:.3f} "
                         f"(dist {r['mean_final_distance']:.3f}, "
-                        f"openloop mae {r.get('openloop_mae_xy')} "
-                        f"cos {r.get('openloop_cos')})")
+                        f"train cos {r.get('openloop_cos')}, "
+                        f"holdout cos {r.get('holdout_cos')})")
                 out[name] = entry
                 with open(partial_path, "a") as f:
                     f.write(json.dumps({"name": name, "entry": entry})
