@@ -6,6 +6,17 @@ FULL loop on the deterministic "reach the {color} block" task
 (utils/sim.py): expert episodes -> diffusion-policy training -> serving
 through ``PolicyEngine`` -> closed-loop rollouts -> success rate, for
 
+Two success rates per arm, both recorded: TRAINING-scene rollouts
+(closed-loop execution competence — sampler noise and the policy's own
+drift still visit never-seen states) and NOVEL-scene rollouts
+(generalization).  At this rig's data budget (hundreds of episodes, no
+pretrained vision) every head/depth memorizes rather than generalizes —
+train cos 0.97-0.99 vs holdout cos ~0 (the probe ladder in the r5
+session log) — so the novel-scene rate sits near chance and is reported
+as the honest limitation; the arm COMPARISONS (ToMe/prune vs vanilla,
+DDIM vs DDPM, w8 vs bf16) ride the training-scene protocol, where all
+arms share identical scenes.
+
   models      {octo_base, octo_deep}
   compression {vanilla, tome, prune}        (trained arms)
   sampler     {DDPM-32, DDIM-8}             (serve-time, same checkpoint)
@@ -92,7 +103,7 @@ def build_dataset(task: ReachTask, n_episodes: int, seed: int):
     Returns (frames (N,H,W,3) uint8, window_idx (N,F) int32,
     actions (N,A) f32, text (N,16) int32)."""
     rng = np.random.default_rng(seed)
-    frames, actions, texts, window_idx = [], [], [], []
+    frames, actions, texts, window_idx, scenes = [], [], [], [], []
     base = 0
     for ep in task.generate_episodes(rng, n_episodes):
         t = ep["images"].shape[0]
@@ -102,10 +113,13 @@ def build_dataset(task: ReachTask, n_episodes: int, seed: int):
         idx = np.arange(base, base + t, dtype=np.int32)
         prev = np.maximum(idx - 1, base)  # history clamps at episode start
         window_idx.append(np.stack([prev, idx], axis=1))
+        scenes.append(ep["scene"])
         base += t
+    scene_batch = {k: np.concatenate([sc[k] for sc in scenes])
+                   for k in scenes[0]}
     return (np.concatenate(frames), np.concatenate(window_idx),
             np.concatenate(actions).astype(np.float32),
-            np.concatenate(texts).astype(np.int32))
+            np.concatenate(texts).astype(np.int32), scene_batch)
 
 
 def _task_head(cfg):
@@ -223,7 +237,7 @@ def train_arm(cfg, steps, seed, device_data):
 
 
 def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
-             diag=None, diag_holdout=None):
+             diag=None, diag_holdout=None, train_scenes=None):
     """Closed-loop success rate through PolicyEngine (fixed eval scenes:
     same eval_seed -> same episodes across every arm).  ``diag`` =
     (obs, text, expert_actions) training windows for an open-loop
@@ -244,8 +258,16 @@ def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
         # rollout consumes (B, A)
         return out.reshape(out.shape[0], -1)[:, -out.shape[-1]:]
 
+    # closed-loop on the TRAINING scenes (execution competence: DDPM
+    # noise and the policy's own drift still visit off-trajectory
+    # states) AND on novel scenes (generalization — near chance at this
+    # rig's data scale; recorded honestly, see artifact notes)
     out = task.rollout(policy, np.random.default_rng(9090 + eval_seed),
-                       EVAL_EPISODES, frames=FRAMES)
+                       EVAL_EPISODES, frames=FRAMES,
+                       initial_state=train_scenes)
+    novel = task.rollout(policy, np.random.default_rng(9090 + eval_seed),
+                         EVAL_EPISODES, frames=FRAMES)
+    out["novel_scenes"] = novel
     def openloop(batch):
         obs_d, text_d, act_d = batch
         n = obs_d.shape[0]
@@ -272,7 +294,9 @@ def main():
     task = ReachTask()  # 280x280, presets' native input
     log(f"[task] dataset: {N_EPISODES} expert episodes "
         f"x {task.episode_len} steps")
-    frames, window, actions, text = build_dataset(task, N_EPISODES, seed=42)
+    frames, window, actions, text, scenes = build_dataset(
+        task, N_EPISODES, seed=42)
+    train_scenes = {k: v[:EVAL_EPISODES] for k, v in scenes.items()}
     log(f"[task] frames {frames.shape} ({frames.nbytes / 1e6:.0f} MB), "
         f"{window.shape[0]} windows")
     device_data = (jnp.asarray(frames), jnp.asarray(window),
@@ -286,7 +310,7 @@ def main():
                       > 0.1)[0][:EVAL_EPISODES]
     diag = (frames[window[moving]].astype(np.float32),
             text[moving], actions[moving])
-    hf, hw, ha, ht = build_dataset(task, 16, seed=424242)
+    hf, hw, ha, ht, _ = build_dataset(task, 16, seed=424242)
     hsel = np.arange(min(EVAL_EPISODES, hw.shape[0]))
     diag_holdout = (hf[hw[hsel]].astype(np.float32), ht[hsel], ha[hsel])
 
@@ -369,7 +393,8 @@ def main():
                         r = eval_arm(task, model, trained,
                                      ddim_steps=ddim, towers=towers,
                                      eval_seed=seed, diag=diag,
-                                     diag_holdout=diag_holdout)
+                                     diag_holdout=diag_holdout,
+                                     train_scenes=train_scenes)
                     except Exception as e:  # record, don't kill the run
                         log(f"[task] {name} {sampler}/{towers} FAILED: "
                             f"{type(e).__name__}: {str(e)[:200]}")
@@ -380,7 +405,8 @@ def main():
                     entry[f"{sampler}_{towers}"] = r
                     log(f"[task] {name} {sampler}/{towers}: "
                         f"success {r['success_rate']:.3f} "
-                        f"(dist {r['mean_final_distance']:.3f}, "
+                        f"(novel {r['novel_scenes']['success_rate']:.3f}, "
+                        f"dist {r['mean_final_distance']:.3f}, "
                         f"train cos {r.get('openloop_cos')}, "
                         f"holdout cos {r.get('holdout_cos')})")
                 out[name] = entry

@@ -228,6 +228,7 @@ class ReachTask:
         the rollout's t=0 situation."""
         for _ in range(n_episodes):
             state = self.reset(rng, 1)
+            scene = {k: np.array(v) for k, v in state.items()}
             frames, actions = [], []
             for _ in range(self.episode_len):
                 frames.append(self.render(state)[0])
@@ -241,22 +242,40 @@ class ReachTask:
                 "actions": np.stack(actions),
                 "text_ids": instruction_ids(
                     self.target_color_names(state)[0], text_length),
+                # initial scene (NOT part of the record schema — callers
+                # writing via write_episodes should drop it): lets an
+                # evaluator roll out closed-loop from the exact training
+                # scenes (utils/sim.py rollout(initial_state=...))
+                "scene": scene,
             }
 
     # -- closed-loop evaluation -------------------------------------------
 
     def rollout(self, policy: Callable[[np.ndarray, np.ndarray], np.ndarray],
                 rng: np.random.Generator, batch: int, frames: int = 2,
-                text_length: int = 16) -> Dict[str, float]:
+                text_length: int = 16,
+                initial_state: Optional[Dict] = None) -> Dict[str, float]:
         """Closed-loop evaluation: the POLICY's actions drive the next
         observation.  ``policy(images (B, F, H, W, 3) float32,
         text_ids (B, L) int32) -> (B, A) actions``.
+
+        ``initial_state`` pins the scenes (e.g. training-episode starts,
+        from generate_episodes' ``scene`` key) instead of sampling fresh
+        ones — closed-loop execution on known scenes vs generalization
+        to novel ones are different claims; record both.
 
         Returns ``{"success_rate", "mean_final_distance",
         "mean_steps_to_success"}`` over ``batch`` episodes (all episodes
         advance together; an episode that succeeds stops moving — its
         success is latched)."""
-        state = self.reset(rng, batch)
+        if initial_state is not None:
+            state = {k: np.array(v) for k, v in initial_state.items()}
+            if state["agent"].shape[0] != batch:
+                raise ValueError(
+                    f"initial_state batch {state['agent'].shape[0]} != "
+                    f"{batch}")
+        else:
+            state = self.reset(rng, batch)
         text = self.instruction_batch(state, text_length)
         done = np.zeros((batch,), bool)
         steps_to = np.full((batch,), np.inf)
