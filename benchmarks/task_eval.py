@@ -7,15 +7,16 @@ FULL loop on the deterministic "reach the {color} block" task
 through ``PolicyEngine`` -> closed-loop rollouts -> success rate, for
 
 Two success rates per arm, both recorded: TRAINING-scene rollouts
-(closed-loop execution competence — sampler noise and the policy's own
-drift still visit never-seen states) and NOVEL-scene rollouts
-(generalization).  At this rig's data budget (hundreds of episodes, no
-pretrained vision) every head/depth memorizes rather than generalizes —
-train cos 0.97-0.99 vs holdout cos ~0 (the probe ladder in the r5
-session log) — so the novel-scene rate sits near chance and is reported
-as the honest limitation; the arm COMPARISONS (ToMe/prune vs vanilla,
-DDIM vs DDPM, w8 vs bf16) ride the training-scene protocol, where all
-arms share identical scenes.
+(closed-loop execution competence) and NOVEL-scene rollouts
+(generalization — the headline).  The training distribution is
+random-state expert supervision (utils/sim.py generate_state_pairs):
+one labeled window per fresh scene, agent sampled anywhere in the
+workspace.  Trajectory-only expert episodes at this data budget trained
+memorizers — r5 ladder: train cos 0.97, holdout cos -0.09, closed-loop
+success 0.09 — because one policy-induced pixel of drift lands
+off-manifold; uniform state coverage (free from a scripted oracle) is
+the fix, and the arm COMPARISONS (ToMe/prune vs vanilla, DDIM vs DDPM,
+w8 vs bf16) all share identical eval scenes.
 
   models      {octo_base, octo_deep}
   compression {vanilla, tome, prune}        (trained arms)
@@ -32,9 +33,9 @@ genuinely closed-loop: the policy's own actions drive the next host-side
 render.
 
 Writes benchmarks/recorded/task_eval_r5.json.  Env knobs:
-  TASK_MODELS=base,deep  TASK_SEEDS=0,1  TASK_STEPS_BASE=1500
-  TASK_STEPS_DEEP=700  TASK_EPISODES=300  TASK_EVAL_EPISODES=64
-  TASK_BATCH=32  TASK_ARMS=vanilla,tome,prune
+  TASK_MODELS=base,deep  TASK_SEEDS=0,1  TASK_STEPS_BASE=6000
+  TASK_STEPS_DEEP=2500  TASK_SAMPLES=6000  TASK_EVAL_EPISODES=64
+  TASK_BATCH=32  TASK_ARMS=vanilla,tome,prune  TASK_HEAD=diffusion
 """
 
 import json
@@ -86,7 +87,8 @@ if HEAD == "continuous" and "TASK_EVAL_ARMS" not in os.environ:
 PEAK_LR = float(os.environ.get("TASK_LR", "3e-4"))
 STEPS_BASE = int(os.environ.get("TASK_STEPS_BASE", "6000"))
 STEPS_DEEP = int(os.environ.get("TASK_STEPS_DEEP", "2500"))
-N_EPISODES = int(os.environ.get("TASK_EPISODES", "300"))
+N_SAMPLES = int(os.environ.get(
+    "TASK_SAMPLES", os.environ.get("TASK_EPISODES", "6000")))
 EVAL_EPISODES = int(os.environ.get("TASK_EVAL_EPISODES", "64"))
 BATCH = int(os.environ.get("TASK_BATCH", "32"))
 SEGMENTS = int(os.environ.get("TASK_SEGMENTS", "10"))
@@ -97,24 +99,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_dataset(task: ReachTask, n_episodes: int, seed: int):
-    """Expert dataset as flat per-step arrays + 2-frame window indices.
+def build_dataset(task: ReachTask, n_samples: int, seed: int):
+    """Random-state expert dataset (utils/sim.py generate_state_pairs):
+    one labeled 2-frame window per FRESH scene, agent anywhere in the
+    workspace.  Trajectory-only episodes at this data budget trained
+    memorizers (r5: train cos 0.97, holdout cos -0.09, closed-loop 0.09)
+    — uniform state coverage is what the scripted oracle gives for free.
 
-    Returns (frames (N,H,W,3) uint8, window_idx (N,F) int32,
-    actions (N,A) f32, text (N,16) int32)."""
+    Returns (frames (N,H,W,3) uint8, window_idx (S,F) int32,
+    actions (S,A) f32, text (S,16) int32, scene_batch)."""
     rng = np.random.default_rng(seed)
     frames, actions, texts, window_idx, scenes = [], [], [], [], []
     base = 0
-    for ep in task.generate_episodes(rng, n_episodes):
-        t = ep["images"].shape[0]
-        frames.append(ep["images"])
-        actions.append(ep["actions"])
-        texts.append(np.broadcast_to(ep["text_ids"], (t, 16)))
-        idx = np.arange(base, base + t, dtype=np.int32)
-        prev = np.maximum(idx - 1, base)  # history clamps at episode start
-        window_idx.append(np.stack([prev, idx], axis=1))
-        scenes.append(ep["scene"])
-        base += t
+    for s in task.generate_state_pairs(rng, n_samples):
+        f = s["frames"]
+        k = f.shape[0]
+        frames.append(f)
+        actions.append(s["action"][None])
+        texts.append(s["text_ids"][None])
+        # [prev, cur]; identical pair references the single frame twice
+        window_idx.append(np.array([[base, base + k - 1]], np.int32))
+        scenes.append(s["scene"])
+        base += k
     scene_batch = {k: np.concatenate([sc[k] for sc in scenes])
                    for k in scenes[0]}
     return (np.concatenate(frames), np.concatenate(window_idx),
@@ -122,12 +128,26 @@ def build_dataset(task: ReachTask, n_episodes: int, seed: int):
             np.concatenate(texts).astype(np.int32), scene_batch)
 
 
+FREEZE_TEXT = os.environ.get("TASK_FREEZE_TEXT", "0") == "1"
+
+
 def _task_head(cfg):
     """Task configuration: the reach task's actions live in [-1, 1], so
     the diffusion head's clip bound is the action bound (a partially
     trained denoiser otherwise drifts to the +-5 walls through the
     32-step reverse chain — measured: train-state decode MAE 3.15 at
-    clip 5 vs 0.48 at clip 1 on the micro probe)."""
+    clip 5 vs 0.48 at clip 1 on the micro probe).
+
+    The text tower is UNFROZEN here (TASK_FREEZE_TEXT=1 restores the
+    flagship default): the flagship freezes T5 to mirror the reference's
+    frozen PRETRAINED tower, but this image has no pretrained weights —
+    a frozen RANDOM encoder leaves instruction grounding to chance, and
+    random-state data makes grounding mandatory (a trajectory-memorizing
+    policy never needed the instruction: scene identity determined the
+    target; measured r5 probe: train cos 0.27 ~= the ignore-instruction
+    head-for-the-average-block score)."""
+    if not FREEZE_TEXT:
+        cfg = cfg.replace(text=cfg.text.replace(frozen=False))
     return cfg.replace(heads=cfg.heads.replace(
         diffusion=cfg.heads.diffusion.replace(clip_value=1.0)))
 
@@ -178,7 +198,8 @@ def train_arm(cfg, steps, seed, device_data):
         init_text, init_imgs)
     tx = make_optimizer(peak_lr=PEAK_LR, warmup_steps=100,
                         total_steps=steps, params=variables["params"],
-                        frozen_prefixes=("text_encoder",))
+                        frozen_prefixes=(("text_encoder",) if FREEZE_TEXT
+                                         else ()))
     state = create_train_state(
         model, variables, tx,
         rngs={"dropout": keys[2], "patch_encoding": keys[1],
@@ -292,10 +313,9 @@ def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
 
 def main():
     task = ReachTask()  # 280x280, presets' native input
-    log(f"[task] dataset: {N_EPISODES} expert episodes "
-        f"x {task.episode_len} steps")
+    log(f"[task] dataset: {N_SAMPLES} random-state expert samples")
     frames, window, actions, text, scenes = build_dataset(
-        task, N_EPISODES, seed=42)
+        task, N_SAMPLES, seed=42)
     train_scenes = {k: v[:EVAL_EPISODES] for k, v in scenes.items()}
     log(f"[task] frames {frames.shape} ({frames.nbytes / 1e6:.0f} MB), "
         f"{window.shape[0]} windows")
@@ -310,7 +330,7 @@ def main():
                       > 0.1)[0][:EVAL_EPISODES]
     diag = (frames[window[moving]].astype(np.float32),
             text[moving], actions[moving])
-    hf, hw, ha, ht, _ = build_dataset(task, 16, seed=424242)
+    hf, hw, ha, ht, _ = build_dataset(task, EVAL_EPISODES, seed=424242)
     hsel = np.arange(min(EVAL_EPISODES, hw.shape[0]))
     diag_holdout = (hf[hw[hsel]].astype(np.float32), ht[hsel], ha[hsel])
 
@@ -348,7 +368,8 @@ def main():
                 pdir = os.path.join(ROOT, "benchmarks", ".task_params")
                 os.makedirs(pdir, exist_ok=True)
                 ppath = os.path.join(
-                    pdir, f"{HEAD}_{name}_{steps}_{N_EPISODES}.msgpack")
+                    pdir, f"{HEAD}_{name}_{steps}_{N_SAMPLES}"
+                    + ("_ft" if FREEZE_TEXT else "") + ".msgpack")
                 import flax.serialization as ser
                 if os.path.exists(ppath):
                     log(f"[task] === loading cached params for {name} ===")
@@ -444,7 +465,7 @@ def main():
         "detail": {
             "task": "reach the {color} block (utils/sim.py)",
             "episodes_per_eval": EVAL_EPISODES,
-            "train_episodes": N_EPISODES,
+            "train_samples": N_SAMPLES,
             "seeds": SEEDS,
             "summary_success": summary,
             "arms": results,

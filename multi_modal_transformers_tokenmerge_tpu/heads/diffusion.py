@@ -28,6 +28,7 @@ import numpy as np
 from ..core.config import DiffusionHeadConfig
 from ..modules.attention import MLPBlock, _bias_init, _kernel_init
 from ..ops.ddpm_sampler import fused_ddpm_sample
+from ..core.hw import on_tpu
 
 __all__ = ["DiffusionActionHead", "OctoDenoise", "FourierFeatures",
            "cosine_beta_schedule", "ddim_schedule"]
@@ -293,7 +294,7 @@ class DiffusionActionHead(nn.Module):
         use_fused = cfg.num_blocks == 1 and (
             cfg.sampler_impl == "fused"
             or (cfg.sampler_impl == "auto"
-                and jax.default_backend() == "tpu"))
+                and on_tpu()))
         if cfg.ddim_steps is not None and cfg.ddim_eps_mode not in (
                 "raw", "recompute"):
             raise ValueError(
@@ -313,7 +314,7 @@ class DiffusionActionHead(nn.Module):
                 clip_value=cfg.clip_value, compute_dtype=self.dtype,
                 ddim_x0clip=True,
                 ddim_eps_recompute=cfg.ddim_eps_mode == "recompute",
-                interpret=jax.default_backend() != "tpu")
+                interpret=not on_tpu())
 
         if use_fused:
             # per-step noise, bit-identical to the in-scan computation
@@ -341,7 +342,7 @@ class DiffusionActionHead(nn.Module):
                 p["noisy_proj"]["kernel"], p["noisy_proj"]["bias"],
                 p["first_out"]["kernel"], p["first_out"]["bias"],
                 clip_value=cfg.clip_value, compute_dtype=self.dtype,
-                interpret=jax.default_backend() != "tpu")
+                interpret=not on_tpu())
 
         if cfg.ddim_steps is not None:
             eps_recompute = cfg.ddim_eps_mode == "recompute"

@@ -38,6 +38,7 @@ from ..ops.image_ops import (
     sample_position_tokens,
 )
 from ..ops.pool import max_pool_hwcn
+from ..core.hw import on_tpu
 
 __all__ = ["ResNetV2Embedder", "ImageTokenizer"]
 
@@ -235,7 +236,7 @@ class ResNetV2Embedder(nn.Module):
         if pool_vjp == "pallas":
             y = max_pool_hwcn(
                 y, c.pool_window, c.pool_stride, vjp="pallas",
-                interpret=jax.default_backend() not in ("tpu",))
+                interpret=not on_tpu())
         elif pool_vjp == "xla":
             # init must be the PYTHON -inf literal: a traced init defeats
             # the reduce-window max-pool autodiff rule (select_and_scatter)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..core.hw import on_tpu
 from ..ops.flash_attention import (flash_bwd, flash_fwd_lse,
                                    tile_skip_tables)
 
@@ -97,7 +98,7 @@ def ring_attention(q, k, v, mask: np.ndarray, mesh: Mesh,
         # (Mosaic kernels don't lower on the CPU simulation backend);
         # explicit impl='flash' trusts the caller (tests pass interpret).
         big_enough = (s_local >= _FLASH_AUTO_MIN_SHARD
-                      and (jax.default_backend() == "tpu" or interpret))
+                      and (on_tpu() or interpret))
         if aligned and (impl == "flash" or big_enough):
             return _ring_flash(q, k, v, mask, mesh, axis, bq, bk,
                                interpret, batch_axis)

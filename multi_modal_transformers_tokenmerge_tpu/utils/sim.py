@@ -249,6 +249,67 @@ class ReachTask:
                 "scene": scene,
             }
 
+    # -- random-state expert labeling -------------------------------------
+
+    def generate_state_pairs(self, rng: np.random.Generator,
+                             n_samples: int, pair_fraction: float = 0.8,
+                             step_noise: float = 0.3,
+                             text_length: int = 16,
+                             ) -> Iterator[Dict[str, np.ndarray]]:
+        """Random-state expert supervision: one labeled 2-frame window per
+        FRESH scene, agent sampled anywhere outside the success radius.
+
+        Trajectory-only expert episodes cover a measure-zero slice of the
+        state space, and at this rig's data budget the policy MEMORIZES
+        them: the r5 ladder measured open-loop cosine 0.97 on training
+        windows vs -0.09 on held-out ones, and closed-loop success 0.09 —
+        one policy-induced pixel of drift lands off-manifold and the
+        output is garbage.  The scripted oracle makes DAgger-style state
+        coverage free: sample the state uniformly, ask the expert.  Each
+        sample is its own scene (maximal scene diversity per frame of
+        device memory).
+
+        With probability ``pair_fraction`` the window is [s, s'] where
+        s' = step(s, expert(s)+noise) — the rollout's generic situation,
+        prev frame one (imperfect) policy step behind — labeled with the
+        CLEAN expert action at s'.  Otherwise it is the identical pair
+        [s, s] labeled at s — the rollout's t=0 situation (history
+        clamps).  Labels are always noise-free; collection noise exists
+        to diversify states, which the uniform sampling already does.
+
+        Yields dicts in the same flat-window schema task_eval consumes:
+        ``frames (1|2, H, W, 3) uint8``, ``action (A,) f32`` (for the
+        LAST frame), ``text_ids (L,)``, ``scene`` (state dict at the
+        last frame, for pinned closed-loop rollouts)."""
+        for _ in range(n_samples):
+            state = self.reset(rng, 1)
+            # re-sample the agent anywhere outside the success radius
+            # (reset's min_start_dist models episode starts; coverage
+            # wants every reachable distance)
+            tgt = np.take_along_axis(
+                state["blocks"],
+                state["target"][:, None, None].repeat(2, -1), axis=1)[:, 0]
+            while True:
+                a = rng.uniform(-0.98, 0.98, (1, 2))
+                if np.linalg.norm(a - tgt) > self.success_radius + 0.02:
+                    break
+            state = {**state, "agent": a}
+            if rng.uniform() < pair_fraction:
+                prev = self.render(state)[0]
+                act = self.expert_action(state, rng=rng, noise=step_noise)
+                state = self.step(state, act)
+                frames = np.stack([prev, self.render(state)[0]])
+            else:
+                frames = self.render(state)  # (1, H, W, 3)
+            label = self.expert_action(state)[0]
+            yield {
+                "frames": frames,
+                "action": label,
+                "text_ids": instruction_ids(
+                    self.target_color_names(state)[0], text_length),
+                "scene": {k: np.array(v) for k, v in state.items()},
+            }
+
     # -- closed-loop evaluation -------------------------------------------
 
     def rollout(self, policy: Callable[[np.ndarray, np.ndarray], np.ndarray],
