@@ -129,6 +129,18 @@ def build_dataset(task: ReachTask, n_samples: int, seed: int):
 
 
 FREEZE_TEXT = os.environ.get("TASK_FREEZE_TEXT", "0") == "1"
+# TASK_TEXT: 'embed' (default) | 't5'.  The flagship's T5 tower exists
+# to serve FROZEN PRETRAINED weights (reference tokenizers/text/
+# t5_base.py); this image has none, and both random-T5 modes fail the
+# task measurably: frozen-random leaves instruction grounding to chance
+# (probe: train cos 0.27 = the ignore-instruction head-for-the-average-
+# block score — a trajectory-memorizing policy never needed the
+# instruction, scene identity determined the target), and unfrozen-
+# random diverges immediately (loss pinned at ~8.9 through 3000 steps:
+# adam through 12 random bf16 T5 layers).  The framework's
+# EmbedTextEncoder (modules/text.py, config kind='embed') is the
+# supported from-scratch text tower — the task ladder trains with it.
+TEXT_KIND = os.environ.get("TASK_TEXT", "embed")
 
 
 def _task_head(cfg):
@@ -136,17 +148,12 @@ def _task_head(cfg):
     the diffusion head's clip bound is the action bound (a partially
     trained denoiser otherwise drifts to the +-5 walls through the
     32-step reverse chain — measured: train-state decode MAE 3.15 at
-    clip 5 vs 0.48 at clip 1 on the micro probe).
-
-    The text tower is UNFROZEN here (TASK_FREEZE_TEXT=1 restores the
-    flagship default): the flagship freezes T5 to mirror the reference's
-    frozen PRETRAINED tower, but this image has no pretrained weights —
-    a frozen RANDOM encoder leaves instruction grounding to chance, and
-    random-state data makes grounding mandatory (a trajectory-memorizing
-    policy never needed the instruction: scene identity determined the
-    target; measured r5 probe: train cos 0.27 ~= the ignore-instruction
-    head-for-the-average-block score)."""
-    if not FREEZE_TEXT:
+    clip 5 vs 0.48 at clip 1 on the micro probe); text tower per
+    TASK_TEXT (module docstring)."""
+    if TEXT_KIND == "embed":
+        cfg = cfg.replace(text=cfg.text.replace(kind="embed",
+                                                frozen=False))
+    elif not FREEZE_TEXT:
         cfg = cfg.replace(text=cfg.text.replace(frozen=False))
     return cfg.replace(heads=cfg.heads.replace(
         diffusion=cfg.heads.diffusion.replace(clip_value=1.0)))
@@ -266,7 +273,11 @@ def eval_arm(task, model, variables, *, ddim_steps, towers, eval_seed,
     mapping' from 'closed-loop drift')."""
     kw = {}
     if towers == "w8":
-        kw = {"image_tower": "w8", "text_tower": "w8"}
+        # text-tower quantization requires the t5 tower; the embed text
+        # tower (TASK_TEXT=embed) serves bf16 (engine raises otherwise)
+        kw = {"image_tower": "w8"}
+        if model.config.text.kind == "t5":
+            kw["text_tower"] = "w8"
     eng = PolicyEngine(model, variables, head=HEAD,
                        batch_size=EVAL_EPISODES,
                        rng=jax.random.PRNGKey(7), ddim_steps=ddim_steps,
@@ -328,11 +339,10 @@ def main():
     # closed-loop success)
     moving = np.where(np.linalg.norm(actions[:, :2], axis=1)
                       > 0.1)[0][:EVAL_EPISODES]
-    diag = (frames[window[moving]].astype(np.float32),
-            text[moving], actions[moving])
+    diag = (frames[window[moving]], text[moving], actions[moving])
     hf, hw, ha, ht, _ = build_dataset(task, EVAL_EPISODES, seed=424242)
     hsel = np.arange(min(EVAL_EPISODES, hw.shape[0]))
-    diag_holdout = (hf[hw[hsel]].astype(np.float32), ht[hsel], ha[hsel])
+    diag_holdout = (hf[hw[hsel]], ht[hsel], ha[hsel])
 
     # expert reference: the closed-loop ceiling on the same eval scenes
     results = {"expert": expert_reference(task)}
@@ -368,7 +378,7 @@ def main():
                 pdir = os.path.join(ROOT, "benchmarks", ".task_params")
                 os.makedirs(pdir, exist_ok=True)
                 ppath = os.path.join(
-                    pdir, f"{HEAD}_{name}_{steps}_{N_SAMPLES}"
+                    pdir, f"{HEAD}_{name}_{steps}_{N_SAMPLES}_{TEXT_KIND}"
                     + ("_ft" if FREEZE_TEXT else "") + ".msgpack")
                 import flax.serialization as ser
                 if os.path.exists(ppath):

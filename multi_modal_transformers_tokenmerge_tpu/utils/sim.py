@@ -317,8 +317,12 @@ class ReachTask:
                 text_length: int = 16,
                 initial_state: Optional[Dict] = None) -> Dict[str, float]:
         """Closed-loop evaluation: the POLICY's actions drive the next
-        observation.  ``policy(images (B, F, H, W, 3) float32,
-        text_ids (B, L) int32) -> (B, A) actions``.
+        observation.  ``policy(images (B, F, H, W, 3) uint8,
+        text_ids (B, L) int32) -> (B, A) actions``.  Frames stay uint8
+        on the wire — model-side patchify normalizes uint8 and float
+        identically, and a float32 obs batch is 4x the bytes (120 MB at
+        B=64 F=2 280px: the dominant eval cost over a remote-device
+        link).
 
         ``initial_state`` pins the scenes (e.g. training-episode starts,
         from generate_episodes' ``scene`` key) instead of sampling fresh
@@ -342,7 +346,7 @@ class ReachTask:
         steps_to = np.full((batch,), np.inf)
         history = [self.render(state)] * frames  # first frame repeats
         for t in range(self.max_steps):
-            obs = np.stack(history[-frames:], axis=1).astype(np.float32)
+            obs = np.stack(history[-frames:], axis=1)  # uint8
             act = np.asarray(policy(obs, text))
             act = np.where(done[:, None], 0.0, act)  # freeze finished envs
             state = self.step(state, act)

@@ -102,9 +102,11 @@ def test_rollout_null_policy_fails_and_latching():
 
 
 def test_rollout_observation_contract():
-    """The rollout feeds (B, F, H, W, 3) float32 frames + (B, L) int32 ids
+    """The rollout feeds (B, F, H, W, 3) uint8 frames + (B, L) int32 ids
     and honors the policy's actions (a policy moving +x increases
-    agent x)."""
+    agent x).  uint8 on the wire is deliberate: a float32 obs batch is
+    4x the bytes over a remote-device link and patchify normalizes
+    uint8/float identically."""
     task = _task()
     seen = {}
 
@@ -117,7 +119,7 @@ def test_rollout_observation_contract():
 
     task.rollout(probe_policy, np.random.default_rng(5), 4, frames=2)
     assert seen["obs"].shape == (4, 2, 64, 64, 3)
-    assert seen["obs"].dtype == np.float32
+    assert seen["obs"].dtype == np.uint8
     assert seen["text"].shape == (4, 16) and seen["text"].dtype == np.int32
 
 
